@@ -1,0 +1,106 @@
+"""TPU duplicate scanner: device candidate scan -> host DSU clustering.
+
+Produces clusters identical to the reference ``DuplicateScanner``
+(``src/dup/scanner.py:203-356``) for equal config, but generates candidates
+with the vectorized all-pairs banded Hamming kernel (ops/hamming.py) instead
+of Python bucket loops.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from kobato_eyes_tpu.dup.types import (
+    DuplicateCluster,
+    DuplicateFileMeta,
+    DuplicateScanConfig,
+    assemble_clusters,
+)
+from kobato_eyes_tpu.ops.hamming import band_keys_np, bucket_ok_np, edge_scan
+from kobato_eyes_tpu.utils.bits import U64_MASK
+
+logger = logging.getLogger(__name__)
+
+
+class TpuDuplicateScanner:
+    """Build duplicate clusters from perceptual hashes on device."""
+
+    def __init__(self, config: DuplicateScanConfig | None = None, *, block: int = 2048) -> None:
+        self._config = config or DuplicateScanConfig()
+        self._block = block
+
+    @property
+    def config(self) -> DuplicateScanConfig:
+        return self._config
+
+    def build_clusters(self, files: Iterable[DuplicateFileMeta]) -> list[DuplicateCluster]:
+        cfg = self._config
+        candidates = [f for f in files if f.phash is not None]
+        t0 = time.perf_counter()
+        logger.info(
+            "dup: candidates=%d band_bits=%d band_count=%d ham_th=%d size_ratio=%s cosine_th=%s",
+            len(candidates), cfg.band_bits, cfg.band_count,
+            cfg.hamming_threshold, cfg.size_ratio, cfg.cosine_threshold,
+        )
+        if len(candidates) < 2:
+            return []
+
+        # Rows sharing a file_id would self-pair in index space; the reference
+        # skips a.file_id == b.file_id pairs, so deduplicate rows up front.
+        seen: set[int] = set()
+        unique: list[DuplicateFileMeta] = []
+        for f in candidates:
+            if f.file_id not in seen:
+                seen.add(f.file_id)
+                unique.append(f)
+
+        ids = np.array([f.file_id for f in unique], dtype=np.int64)
+        ph = np.array([int(f.phash) & U64_MASK for f in unique], dtype=np.uint64)
+        sizes = np.array([float(f.size or 0) for f in unique], dtype=np.float64)
+
+        keys = band_keys_np(ph, cfg.band_bits, cfg.band_count)
+        ok = bucket_ok_np(keys, cfg.bucket_pair_cap)
+
+        embeddings = None
+        if cfg.cosine_threshold is not None and all(
+            f.embedding is not None and len(f.embedding) > 0 for f in unique
+        ):
+            dims = {len(f.embedding) for f in unique}  # type: ignore[arg-type]
+            if len(dims) == 1:
+                embeddings = np.array([f.embedding for f in unique], dtype=np.float32)
+
+        ph_pairs = np.stack(
+            [(ph >> np.uint64(32)).astype(np.uint32), (ph & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
+            axis=-1,
+        )
+        ei, ej, dists = edge_scan(
+            ph_pairs, keys, ok,
+            hamming_threshold=cfg.hamming_threshold,
+            sizes=sizes,
+            size_ratio=cfg.size_ratio,
+            embeddings=embeddings,
+            cosine_threshold=cfg.cosine_threshold if embeddings is not None else None,
+            block=min(self._block, len(unique)),
+        )
+        n_pairs_scanned = len(unique) * (len(unique) - 1) // 2
+        logger.info(
+            "dup: pairs scanned=%d -> edges=%d in %.3fs",
+            n_pairs_scanned, len(ei), time.perf_counter() - t0,
+        )
+
+        files_by_id = {f.file_id: f for f in unique}
+        edges = [
+            (int(ids[a]), int(ids[b]), int(d)) for a, b, d in zip(ei, ej, dists)
+        ]
+        clusters = assemble_clusters(files_by_id, edges)
+        logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
+        return clusters
+
+
+def cluster_ids(clusters: Sequence[DuplicateCluster]) -> list[tuple[int, list[int]]]:
+    """Canonical (keeper_id, ordered member ids) view for parity comparison."""
+    return [(c.keeper_id, [e.file.file_id for e in c.files]) for c in clusters]

@@ -1,0 +1,255 @@
+"""All-pairs Hamming candidate scan on device.
+
+TPU-native replacement for the reference's per-bucket Python pair loops
+(``src/dup/scanner.py:227-298``).  Instead of materializing LSH buckets and
+iterating their pairs one by one on the host, the engine streams row-blocks
+of the hash array against the full column set and evaluates the *entire*
+candidate predicate vectorized on the VPU:
+
+    edge(i, j) = band_match(i, j)            # same 16-bit band slice, LSH parity
+              & dist(i, j) <= hamming_thr    # XOR + popcount over 2 uint32 lanes
+              & size_ratio_ok(i, j)          # optional bytes-ratio filter
+              & cosine_ok(i, j)              # optional embedding filter (MXU matmul)
+              & j > i                        # upper triangle only
+
+Band semantics (including the per-bucket pair cap ``KE_DUP_BUCKET_PAIR_CAP``
+of scanner.py:239-253, exposed here as ``bucket_ok``) are preserved exactly,
+so the resulting edge set -- and therefore the DSU clusters -- is identical
+to the reference's.  Edges are extracted with a fixed-size ``jnp.nonzero``
+per block so the whole scan stays inside one jitted program per block shape.
+
+64-bit hashes are (hi, lo) uint32 pairs throughout (no native u64 on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kobato_eyes_tpu.utils.bits import popcount64_np, u32pair_to_u64
+
+
+@partial(jax.jit, static_argnames=("block", "max_edges", "use_size", "use_cosine"))
+def _edge_scan_block(
+    ph: jnp.ndarray,  # (N, 2) uint32
+    keys: jnp.ndarray,  # (N, B) uint32 band keys (band_bits <= 32)
+    ok: jnp.ndarray,  # (N, B) bool bucket-cap mask
+    sizes: jnp.ndarray,  # (N,) float32 file sizes (0 = unknown)
+    emb: jnp.ndarray,  # (N, D) float32 L2-normalized embeddings (D=1 dummy when unused)
+    emb_valid: jnp.ndarray,  # (N,) bool
+    row_start: jnp.ndarray,  # scalar int32
+    hamming_threshold: jnp.ndarray,  # scalar int32
+    size_ratio: jnp.ndarray,  # scalar float32
+    cosine_threshold: jnp.ndarray,  # scalar float32
+    *,
+    block: int,
+    max_edges: int,
+    use_size: bool,
+    use_cosine: bool,
+):
+    """Scan rows [row_start, row_start+block) against all columns.
+
+    Returns (rows_local, cols, dists, n_edges): index arrays of shape
+    (max_edges,) padded with -1, plus the true edge count (for overflow
+    detection by the caller).
+    """
+    n = ph.shape[0]
+    ph_rows = jax.lax.dynamic_slice(ph, (row_start, 0), (block, 2))
+    keys_rows = jax.lax.dynamic_slice(keys, (row_start, 0), (block, keys.shape[1]))
+    ok_rows = jax.lax.dynamic_slice(ok, (row_start, 0), (block, ok.shape[1]))
+
+    xor_hi = ph_rows[:, None, 0] ^ ph[None, :, 0]
+    xor_lo = ph_rows[:, None, 1] ^ ph[None, :, 1]
+    dist = (
+        jax.lax.population_count(xor_hi) + jax.lax.population_count(xor_lo)
+    ).astype(jnp.int32)
+
+    # LSH band parity: candidate iff any band slice matches within an
+    # un-capped bucket (both sides share the bucket, so one mask suffices).
+    band_hit = jnp.any(
+        (keys_rows[:, None, :] == keys[None, :, :]) & ok_rows[:, None, :], axis=-1
+    )
+
+    edge = band_hit & (dist <= hamming_threshold)
+
+    if use_size:
+        s_rows = jax.lax.dynamic_slice(sizes, (row_start,), (block,))
+        smaller = jnp.minimum(s_rows[:, None], sizes[None, :])
+        larger = jnp.maximum(s_rows[:, None], sizes[None, :])
+        # Reference semantics (_passes_size_ratio): unknown/zero sizes pass.
+        ratio_ok = (smaller <= 0) | (smaller / jnp.maximum(larger, 1.0) >= size_ratio)
+        edge &= ratio_ok
+
+    if use_cosine:
+        e_rows = jax.lax.dynamic_slice(emb, (row_start, 0), (block, emb.shape[1]))
+        v_rows = jax.lax.dynamic_slice(emb_valid, (row_start,), (block,))
+        cos = jnp.dot(e_rows, emb.T, preferred_element_type=jnp.float32)
+        # Reference semantics: missing/zero-norm embeddings pass the filter.
+        both_valid = v_rows[:, None] & emb_valid[None, :]
+        edge &= (~both_valid) | (cos >= cosine_threshold)
+
+    # Upper triangle in global coordinates: j > i.
+    gi = row_start + jax.lax.broadcasted_iota(jnp.int32, (block, n), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (block, n), 1)
+    edge &= gj > gi
+
+    n_edges = jnp.sum(edge, dtype=jnp.int32)
+    rows_local, cols = jnp.nonzero(edge, size=max_edges, fill_value=-1)
+    dists = jnp.where(rows_local >= 0, dist[rows_local, cols], -1)
+    return rows_local, cols, dists.astype(jnp.int32), n_edges
+
+
+def band_keys_np(ph_u64: np.ndarray, band_bits: int, band_count: int) -> np.ndarray:
+    """(N,) uint64 -> (N, band_count) band keys (scanner.py:227-233 layout)."""
+    if band_bits * band_count > 64:
+        raise ValueError("band config too large")
+    mask = np.uint64((1 << band_bits) - 1)
+    keys = np.empty((ph_u64.shape[0], band_count), dtype=np.uint64)
+    for b in range(band_count):
+        keys[:, b] = (ph_u64 >> np.uint64(b * band_bits)) & mask
+    return keys
+
+
+def bucket_ok_np(keys: np.ndarray, pair_cap: int | None) -> np.ndarray:
+    """Per-(file, band) mask: False when the bucket's pair count exceeds cap.
+
+    Mirrors scanner.py:265-267 (skip whole bucket when
+    len*(len-1)/2 > KE_DUP_BUCKET_PAIR_CAP).
+    """
+    n, bands = keys.shape
+    ok = np.ones((n, bands), dtype=bool)
+    if pair_cap is None:
+        return ok
+    for b in range(bands):
+        _, inverse, counts = np.unique(keys[:, b], return_inverse=True, return_counts=True)
+        sizes = counts[inverse]
+        pair_counts = sizes.astype(np.int64) * (sizes.astype(np.int64) - 1) // 2
+        ok[:, b] = pair_counts <= pair_cap
+    return ok
+
+
+def edge_scan(
+    ph_pairs: np.ndarray,
+    keys_u64: np.ndarray,
+    bucket_ok: np.ndarray,
+    *,
+    hamming_threshold: int,
+    sizes: np.ndarray | None = None,
+    size_ratio: float | None = None,
+    embeddings: np.ndarray | None = None,
+    cosine_threshold: float | None = None,
+    block: int = 1024,
+    max_edges_per_block: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full candidate scan. Returns (i, j, dist) with i < j, deduplicated.
+
+    ``keys_u64`` must have band_bits <= 32 values (the default config is 16);
+    wider single-band configs should use exact-hash grouping instead.
+    """
+    n = ph_pairs.shape[0]
+    if n < 2:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    if np.any(keys_u64 > 0xFFFFFFFF):
+        raise ValueError("band keys wider than 32 bits are not supported on device")
+
+    block = min(block, n)
+    use_size = size_ratio is not None and size_ratio > 0
+    use_cosine = embeddings is not None and cosine_threshold is not None
+
+    ph_dev = jnp.asarray(ph_pairs.astype(np.uint32))
+    keys_dev = jnp.asarray(keys_u64.astype(np.uint32))
+    ok_dev = jnp.asarray(bucket_ok)
+    sizes_dev = jnp.asarray(
+        (sizes if sizes is not None else np.zeros(n)).astype(np.float32)
+    )
+    if use_cosine:
+        emb = np.asarray(embeddings, dtype=np.float32)
+        norms = np.linalg.norm(emb, axis=1)
+        valid = norms > 0
+        emb = np.where(valid[:, None], emb / np.maximum(norms, 1e-30)[:, None], 0.0)
+        emb_dev = jnp.asarray(emb)
+        valid_dev = jnp.asarray(valid)
+    else:
+        emb_dev = jnp.zeros((n, 1), jnp.float32)
+        valid_dev = jnp.zeros((n,), bool)
+
+    if max_edges_per_block is None:
+        max_edges_per_block = max(4096, block * 64)
+
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    thr = jnp.int32(hamming_threshold)
+    ratio = jnp.float32(size_ratio or 0.0)
+    cos_thr = jnp.float32(cosine_threshold if cosine_threshold is not None else -2.0)
+
+    for start in range(0, n, block):
+        # Ragged tail: shift the window back so the block shape stays static
+        # (re-scanned rows are masked out by the j > i predicate... not quite:
+        # overlapping rows would re-emit their edges, so drop them explicitly).
+        actual_start = min(start, n - block)
+        overlap = start - actual_start
+        cap = max_edges_per_block
+        while True:
+            rows_l, cols, dists, n_edges = _edge_scan_block(
+                ph_dev, keys_dev, ok_dev, sizes_dev, emb_dev, valid_dev,
+                jnp.int32(actual_start), thr, ratio, cos_thr,
+                block=block, max_edges=cap, use_size=use_size, use_cosine=use_cosine,
+            )
+            count = int(n_edges)
+            if count <= cap:
+                break
+            cap = int(2 ** np.ceil(np.log2(count + 1)))
+        rows_l = np.asarray(rows_l[:count])
+        cols = np.asarray(cols[:count])
+        dists = np.asarray(dists[:count])
+        keep = rows_l >= overlap
+        out_i.append(actual_start + rows_l[keep].astype(np.int64))
+        out_j.append(cols[keep].astype(np.int64))
+        out_d.append(dists[keep].astype(np.int64))
+
+    if not out_i:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    return np.concatenate(out_i), np.concatenate(out_j), np.concatenate(out_d)
+
+
+# ---------------------------------------------------------------------------
+# numpy reference (executable spec for parity tests)
+# ---------------------------------------------------------------------------
+
+
+def edge_scan_np(
+    ph_u64: np.ndarray,
+    keys_u64: np.ndarray,
+    bucket_ok: np.ndarray,
+    *,
+    hamming_threshold: int,
+    sizes: np.ndarray | None = None,
+    size_ratio: float | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Brute-force numpy implementation of the same edge predicate."""
+    n = ph_u64.shape[0]
+    xor = ph_u64[:, None] ^ ph_u64[None, :]
+    dist = popcount64_np(xor).astype(np.int64)
+    band_hit = np.any(
+        (keys_u64[:, None, :] == keys_u64[None, :, :]) & bucket_ok[:, None, :], axis=-1
+    )
+    edge = band_hit & (dist <= hamming_threshold)
+    if size_ratio is not None and size_ratio > 0 and sizes is not None:
+        s = sizes.astype(np.float64)
+        smaller = np.minimum(s[:, None], s[None, :])
+        larger = np.maximum(s[:, None], s[None, :])
+        edge &= (smaller <= 0) | (smaller / np.maximum(larger, 1.0) >= size_ratio)
+    iu = np.triu_indices(n, k=1)
+    mask = edge[iu]
+    return iu[0][mask], iu[1][mask], dist[iu][mask]
+
+
+def hamming_distance_pairs(a_pairs: np.ndarray, b_pairs: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between two (N, 2) uint32 hash arrays."""
+    a = u32pair_to_u64(a_pairs)
+    b = u32pair_to_u64(b_pairs)
+    return popcount64_np(a ^ b)
