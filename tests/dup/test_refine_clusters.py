@@ -1,0 +1,119 @@
+"""End-to-end refinement tests over real image files."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from kobato_eyes_tpu.dup.cluster import ClusterBuilder
+from kobato_eyes_tpu.dup.refine import RefinementThresholds, refine_pair
+from kobato_eyes_tpu.dup.refine_clusters import refine_by_pixels, refine_by_tilehash
+from kobato_eyes_tpu.dup.types import DuplicateCluster, DuplicateClusterEntry, DuplicateFileMeta
+
+
+def _save(tmp_path: Path, name: str, arr: np.ndarray) -> Path:
+    p = tmp_path / name
+    Image.fromarray(arr, "RGB").save(p)
+    return p
+
+
+def _meta(fid: int, path: Path) -> DuplicateFileMeta:
+    size = path.stat().st_size if path.exists() else 0
+    return DuplicateFileMeta(
+        file_id=fid, path=path, size=size, width=64, height=64, phash=0
+    )
+
+
+def _smooth_rgb(rng: np.random.Generator, h: int = 64, w: int = 64, phase: float = 0.0) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    lum = 120 + 90 * np.sin(xx / 9.0 + phase) * np.cos(yy / 7.0)
+    rgb = np.stack([lum, np.roll(lum, 3, 0), np.roll(lum, 5, 1)], axis=-1)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture
+def cluster_with_outlier(tmp_path, rng):
+    base = _smooth_rgb(rng)
+    near = np.clip(base.astype(np.float32) * 1.05, 0, 255).astype(np.uint8)  # brightness edit
+    outlier = _smooth_rgb(rng, phase=2.3)
+    p_keep = _save(tmp_path, "keep.png", base)
+    p_near = _save(tmp_path, "near.png", near)
+    p_out = _save(tmp_path, "outlier.png", outlier)
+    entries = [
+        DuplicateClusterEntry(file=_meta(1, p_keep), best_hamming=0),
+        DuplicateClusterEntry(file=_meta(2, p_near), best_hamming=1),
+        DuplicateClusterEntry(file=_meta(3, p_out), best_hamming=8),
+    ]
+    return DuplicateCluster(files=entries, keeper_id=1)
+
+
+def test_tilehash_refine_drops_outlier(cluster_with_outlier):
+    # brightness-edited near-dup sits at tile-hamming ~34, the unrelated
+    # image at ~2900; any threshold between separates them
+    out = refine_by_tilehash([cluster_with_outlier], grid=8, tile=8, max_bits=100)
+    assert len(out) == 1
+    assert [e.file.file_id for e in out[0].files] == [1, 2]
+    assert out[0].keeper_id == 1
+
+
+def test_pixel_refine_drops_outlier(cluster_with_outlier):
+    # the 1.05x brightness edit sits at MAE ~0.024; the unrelated image far above
+    out = refine_by_pixels([cluster_with_outlier], mae_thr=0.035)
+    assert len(out) == 1
+    assert [e.file.file_id for e in out[0].files] == [1, 2]
+
+
+def test_refine_cluster_all_dropped(cluster_with_outlier, tmp_path, rng):
+    # threshold 0 keeps only the keeper itself -> cluster dissolves (<2)
+    out = refine_by_pixels([cluster_with_outlier], mae_thr=0.0)
+    assert out == []
+
+
+def test_refine_missing_keeper_file(tmp_path, rng, cluster_with_outlier):
+    # keeper path doesn't exist -> cluster dropped, no exception
+    ghost = DuplicateClusterEntry(
+        file=_meta(9, tmp_path / "missing.png"), best_hamming=0
+    )
+    cl = DuplicateCluster(files=[ghost, cluster_with_outlier.files[1]], keeper_id=9)
+    assert refine_by_tilehash([cl]) == []
+    assert refine_by_pixels([cl]) == []
+
+
+def test_refine_cancellation(cluster_with_outlier):
+    assert refine_by_tilehash([cluster_with_outlier], is_cancelled=lambda: True) == []
+    assert refine_by_pixels([cluster_with_outlier], is_cancelled=lambda: True) == []
+
+
+def test_refine_pair_and_cluster_builder(tmp_path, rng):
+    base = rng.integers(0, 256, size=(96, 80, 3), dtype=np.uint8)
+    near = np.clip(base.astype(np.int16) + rng.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
+    far = rng.integers(0, 256, size=(96, 80, 3), dtype=np.uint8)
+    p1 = _save(tmp_path, "a.png", base)
+    p2 = _save(tmp_path, "b.png", near)
+    p3 = _save(tmp_path, "c.png", far)
+
+    m12 = refine_pair(1, 2, p1, p2)
+    m13 = refine_pair(1, 3, p1, p3)
+    assert m12 is not None and m12.is_duplicate
+    assert m12.ssim is not None and m12.ssim >= 0.9
+    assert m13 is not None and not m13.is_duplicate
+
+    builder = ClusterBuilder()
+    builder.add_match(m12)
+    builder.add_match(m13)
+    clusters = builder.build()
+    assert len(clusters) == 1
+    assert clusters[0].representative == 1
+    assert clusters[0].members == [1, 2]
+    assert len(clusters[0].matches) == 1
+
+
+def test_refine_pair_unloadable_returns_none(tmp_path):
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not an image")
+    good = tmp_path / "ok.png"
+    Image.new("RGB", (32, 32), (10, 20, 30)).save(good)
+    assert refine_pair(1, 2, bad, good) is None
