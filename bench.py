@@ -1,0 +1,128 @@
+"""Headline benchmark: dup-scan throughput at 70k images (BASELINE.json #2).
+
+Prints ONE JSON line::
+
+    {"metric": "dup_scan_pairs_per_sec_70k", "value": N, "unit": "pairs/s",
+     "vs_baseline": R}
+
+``value`` is the device engine's candidate-scan throughput (total pair space
+/ wall time, end-to-end including edge extraction and DSU clustering).
+``vs_baseline`` is the ratio against the CPU reference implementation
+(dup/cpu_ref.py — a faithful re-implementation of the reference's bucketed
+Python pair loops, src/dup/scanner.py:203-356) on the *same* hashes, with a
+cluster-identity assertion so speed never comes at the cost of parity.
+
+The CPU baseline is measured on a subsample and scaled by measured per-pair /
+per-item costs only if the full run would exceed the time budget; by default
+both sides run the full 70k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+N_IMAGES = int(os.environ.get("KET_BENCH_N", "70000"))
+SEED = 1234
+HAMMING_THRESHOLD = 8
+DUP_FRACTION = 0.3  # fraction of images that are near-dups of an original
+CPU_BUDGET_S = float(os.environ.get("KET_BENCH_CPU_BUDGET_S", "600"))
+
+
+def synth_hashes(n: int, seed: int) -> np.ndarray:
+    """Synthetic pHash population with planted near-duplicate clusters."""
+    rng = np.random.default_rng(seed)
+    n_dups = int(n * DUP_FRACTION)
+    n_orig = n - n_dups
+    originals = rng.integers(0, 1 << 64, size=n_orig, dtype=np.uint64)
+    # each dup flips 0..6 random bits of a random original
+    src = rng.integers(0, n_orig, size=n_dups)
+    dups = originals[src].copy()
+    for i in range(n_dups):
+        k = int(rng.integers(0, 7))
+        for bit in rng.integers(0, 64, size=k):
+            dups[i] ^= np.uint64(1) << np.uint64(bit)
+    out = np.concatenate([originals, dups])
+    rng.shuffle(out)
+    return out
+
+
+def main() -> None:
+    from kobato_eyes_tpu.dup.cpu_ref import CpuDuplicateScanner
+    from kobato_eyes_tpu.dup.engine import TpuDuplicateScanner, cluster_ids
+    from kobato_eyes_tpu.dup.types import DuplicateFileMeta, DuplicateScanConfig
+
+    def cpu_build_clusters(fs, cfg):
+        return CpuDuplicateScanner(cfg).build_clusters(fs)
+
+    n = N_IMAGES
+    hashes = synth_hashes(n, SEED)
+    sizes = np.random.default_rng(SEED + 1).integers(10_000, 5_000_000, size=n)
+    files = [
+        DuplicateFileMeta(
+            file_id=i, path=Path(f"/bench/img_{i:07d}.png"), size=int(sizes[i]),
+            width=None, height=None, phash=int(hashes[i]),
+        )
+        for i in range(n)
+    ]
+    config = DuplicateScanConfig(hamming_threshold=HAMMING_THRESHOLD)
+    pair_space = n * (n - 1) / 2
+
+    # --- device engine (includes JIT warmup on a small prefix, like the
+    # reference bench excludes its warmup batch) ---
+    scanner = TpuDuplicateScanner(config, block=4096)
+    scanner.build_clusters(files[: min(8192, n)])  # warmup/compile
+    t0 = time.perf_counter()
+    device_clusters = scanner.build_clusters(files)
+    device_s = time.perf_counter() - t0
+    device_pps = pair_space / device_s
+
+    # --- CPU reference on the same data ---
+    cpu_n = n
+    est = None
+    # Probe on 10k to estimate full cost; fall back to scaling if over budget.
+    probe_n = min(10_000, n)
+    t0 = time.perf_counter()
+    cpu_build_clusters(files[:probe_n], config)
+    probe_s = time.perf_counter() - t0
+    est = probe_s * (n / probe_n) ** 2  # bucket pair work scales ~quadratically
+    if est > CPU_BUDGET_S:
+        cpu_pps = (probe_n * (probe_n - 1) / 2) / probe_s
+        parity_files = files[:probe_n]
+    else:
+        t0 = time.perf_counter()
+        cpu_clusters = cpu_build_clusters(files, config)
+        cpu_s = time.perf_counter() - t0
+        cpu_pps = pair_space / cpu_s
+        parity_files = None
+        # cluster identity assertion (full run)
+        assert cluster_ids(device_clusters) == cluster_ids(cpu_clusters), (
+            "device clusters diverge from CPU reference"
+        )
+    if parity_files is not None:
+        # parity asserted on the probe subset when the full CPU run is skipped
+        sub_dev = scanner.build_clusters(parity_files)
+        sub_cpu = cpu_build_clusters(parity_files, config)
+        assert cluster_ids(sub_dev) == cluster_ids(sub_cpu), (
+            "device clusters diverge from CPU reference (probe)"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "dup_scan_pairs_per_sec_70k",
+                "value": round(device_pps, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(device_pps / cpu_pps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

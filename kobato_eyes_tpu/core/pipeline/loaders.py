@@ -1,0 +1,139 @@
+"""Prefetching input pipeline: decode on host threads, batches ready for device.
+
+TPU-first analog of the reference's producer-thread loader
+(``src/core/pipeline/loaders.py:229-536``): a producer thread fans decode out
+to a thread pool and pushes *prepared* fixed-shape uint8 batches into a
+bounded queue, overlapping host IO/decode with device inference.  Producer
+exceptions are captured and re-raised at the consumer (failure policy of
+loaders.py:514-536); per-item decode failures are skips, never fatal.
+
+Batch sorting by (parent dir, size) for IO locality mirrors
+``tag_stage.py:105-111``.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+from kobato_eyes_tpu.core.pipeline.contracts import FileRecord
+from kobato_eyes_tpu.utils.image_io import load_rgb_array
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LoaderMetrics:
+    """Input-pipeline observability (reference LoaderMetrics, loaders.py:44-85)."""
+
+    decoded: int = 0
+    failed: int = 0
+    decode_seconds: float = 0.0
+    queue_wait_seconds: float = 0.0
+    batches: int = 0
+    slowest: list[tuple[float, str]] = field(default_factory=list)  # (seconds, path) top-N
+
+    def note_decode(self, seconds: float, path: str) -> None:
+        self.decoded += 1
+        self.decode_seconds += seconds
+        self.slowest.append((seconds, path))
+        self.slowest.sort(reverse=True)
+        del self.slowest[20:]
+
+    def summary(self) -> str:
+        return (
+            f"decoded={self.decoded} failed={self.failed} batches={self.batches} "
+            f"decode_s={self.decode_seconds:.2f} queue_wait_s={self.queue_wait_seconds:.2f}"
+        )
+
+
+@dataclass
+class PreparedBatch:
+    records: list[FileRecord]
+    pixels: np.ndarray  # (B, S, S, 3) uint8
+    sizes: list[tuple[int, int]]  # original (width, height) per record
+
+
+_SENTINEL = object()
+
+
+class PrefetchLoader:
+    """Iterate prepared batches with bounded prefetch."""
+
+    def __init__(
+        self,
+        records: Sequence[FileRecord],
+        *,
+        prepare: Callable[[list[np.ndarray]], np.ndarray],
+        batch_size: int = 32,
+        prefetch_depth: int = 4,
+        io_workers: int = 8,
+        is_cancelled: Callable[[], bool] | None = None,
+    ) -> None:
+        # (parent dir, size) ordering for IO locality.
+        self._records = sorted(records, key=lambda r: (str(r.path.parent), r.size))
+        self._prepare = prepare
+        self._batch_size = batch_size
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, prefetch_depth))
+        self._io_workers = io_workers
+        self._is_cancelled = is_cancelled or (lambda: False)
+        self._error: BaseException | None = None
+        self.metrics = LoaderMetrics()
+        self._thread = threading.Thread(target=self._producer, name="prefetch-loader", daemon=True)
+
+    def _decode_one(self, record: FileRecord) -> tuple[FileRecord, np.ndarray | None]:
+        t0 = time.perf_counter()
+        arr = load_rgb_array(record.path)
+        if arr is None:
+            self.metrics.failed += 1
+            record.failed = True
+            return record, None
+        self.metrics.note_decode(time.perf_counter() - t0, str(record.path))
+        record.width, record.height = arr.shape[1], arr.shape[0]
+        return record, arr
+
+    def _producer(self) -> None:
+        try:
+            with ThreadPoolExecutor(max_workers=self._io_workers) as pool:
+                for start in range(0, len(self._records), self._batch_size):
+                    if self._is_cancelled():
+                        break
+                    chunk = self._records[start : start + self._batch_size]
+                    decoded = list(pool.map(self._decode_one, chunk))
+                    ok = [(r, a) for r, a in decoded if a is not None]
+                    if not ok:
+                        continue
+                    pixels = self._prepare([a for _, a in ok])
+                    batch = PreparedBatch(
+                        records=[r for r, _ in ok],
+                        pixels=pixels,
+                        sizes=[(r.width or 0, r.height or 0) for r, _ in ok],
+                    )
+                    t0 = time.perf_counter()
+                    self._queue.put(batch)
+                    self.metrics.queue_wait_seconds += time.perf_counter() - t0
+                    self.metrics.batches += 1
+        except BaseException as exc:  # noqa: BLE001
+            # Failure policy: producer errors must propagate to the consumer.
+            self._error = exc
+        finally:
+            self._queue.put(_SENTINEL)
+
+    def __iter__(self) -> Iterator[PreparedBatch]:
+        self._thread.start()
+        while True:
+            item = self._queue.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        self._thread.join()
+        if self._error is not None:
+            raise self._error
+        logger.info("loader: %s", self.metrics.summary())

@@ -1,0 +1,157 @@
+"""Index pipeline orchestrator: Scan -> Tag -> Write -> Epoch swap.
+
+Counterpart of the reference orchestrator (``core/pipeline/orchestrator.py:
+95-213``) with the FTS rebuild replaced by a device index-epoch rebuild.
+Stage overrides allow tests (and retag flows) to inject fakes, mirroring
+``set_stage_override``.  The write phase holds the quiesce gate; the epoch
+swap afterward is atomic, so readers never see a half-built index.
+"""
+
+from __future__ import annotations
+
+import logging
+import sqlite3
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable
+
+from kobato_eyes_tpu.core.config.schema import Settings
+from kobato_eyes_tpu.core.pipeline.contracts import FileRecord, ScanResult
+from kobato_eyes_tpu.core.pipeline.fingerprint import current_tagger_sig
+from kobato_eyes_tpu.core.pipeline.scan_stage import ScanStage, ScanStageConfig
+from kobato_eyes_tpu.core.pipeline.tag_stage import TagStage, TagStageResult
+from kobato_eyes_tpu.core.progress import IndexPhase, ProgressCallback, ProgressEmitter
+from kobato_eyes_tpu.db.connection import bootstrap, quiesced
+from kobato_eyes_tpu.models.base import ITagger
+from kobato_eyes_tpu.query.engine import EpochManager
+from kobato_eyes_tpu.services.writer import CatalogWriter
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class IndexStats:
+    scanned: int = 0
+    new: int = 0
+    changed: int = 0
+    missing: int = 0
+    tagged: int = 0
+    tag_failed: int = 0
+    skipped: int = 0
+    written: int = 0
+    elapsed_sec: float = 0.0
+    epoch_version: int | None = None
+    extra: dict = field(default_factory=dict)
+
+
+class IndexPipeline:
+    def __init__(
+        self,
+        db_path: str | Path,
+        settings: Settings,
+        tagger: ITagger,
+        *,
+        epoch_manager: EpochManager | None = None,
+        progress: ProgressCallback | None = None,
+        is_cancelled: Callable[[], bool] | None = None,
+    ) -> None:
+        self._db_path = Path(db_path)
+        self._settings = settings
+        self._tagger = tagger
+        self._epochs = epoch_manager
+        self._progress = ProgressEmitter(progress)
+        self._is_cancelled = is_cancelled or (lambda: False)
+        self._tagger_sig = current_tagger_sig(tagger.signature_fields())
+        # test seams (reference set_stage_override)
+        self._scan_override: Callable[[sqlite3.Connection, ProgressEmitter], ScanResult] | None = None
+        self._writer_factory: Callable[[], CatalogWriter] = lambda: CatalogWriter(
+            self._db_path, unsafe_fast=True
+        )
+
+    def set_scan_override(self, fn: Callable[[sqlite3.Connection, ProgressEmitter], ScanResult]) -> None:
+        self._scan_override = fn
+
+    def set_writer_factory(self, fn: Callable[[], CatalogWriter]) -> None:
+        self._writer_factory = fn
+
+    @property
+    def tagger_sig(self) -> str:
+        return self._tagger_sig
+
+    def run(self) -> IndexStats:
+        t0 = time.perf_counter()
+        stats = IndexStats()
+        conn = bootstrap(self._db_path)
+        try:
+            # SCAN
+            if self._scan_override is not None:
+                scan = self._scan_override(conn, self._progress)
+            else:
+                scan = ScanStage(
+                    ScanStageConfig(
+                        roots=self._settings.pipeline.roots,
+                        excluded=self._settings.pipeline.excluded,
+                        allow_exts=self._settings.pipeline.allow_exts,
+                    ),
+                    tagger_sig=self._tagger_sig,
+                    is_cancelled=self._is_cancelled,
+                ).run(conn, self._progress)
+            stats.scanned = len(scan.records)
+            stats.new, stats.changed, stats.missing = scan.new, scan.changed, len(scan.missing_ids)
+        finally:
+            conn.close()
+
+        # TAG + WRITE under the quiesce gate (exclusive writer phase).
+        tag_result = TagStageResult()
+        if not self._is_cancelled():
+            with quiesced():
+                writer = self._writer_factory()
+                writer.start()
+                try:
+                    tag_result = TagStage(
+                        self._tagger,
+                        tagger_sig=self._tagger_sig,
+                        batch_size=self._settings.pipeline.batch_size,
+                        prefetch_depth=self._settings.pipeline.prefetch_depth,
+                        io_workers=self._settings.pipeline.io_workers,
+                        is_cancelled=self._is_cancelled,
+                    ).run(scan.records, writer, self._progress)
+                finally:
+                    self._progress.phase(IndexPhase.WRITE)
+                    writer.stop(flush=True)
+                stats.written = writer.items_written
+        stats.tagged = tag_result.tagged
+        stats.tag_failed = tag_result.failed
+        stats.skipped = tag_result.skipped
+
+        # EPOCH swap (the reference's offline FTS rebuild, device edition).
+        if self._epochs is not None and not self._is_cancelled():
+            self._progress.phase(IndexPhase.EPOCH)
+            conn = bootstrap(self._db_path)
+            try:
+                epoch = self._epochs.rebuild(conn)
+                stats.epoch_version = epoch.version
+            finally:
+                conn.close()
+
+        stats.elapsed_sec = time.perf_counter() - t0
+        self._progress.phase(IndexPhase.DONE)
+        logger.info("index run: %s", stats)
+        return stats
+
+
+def run_index_once(
+    db_path: str | Path,
+    settings: Settings,
+    tagger: ITagger,
+    *,
+    epoch_manager: EpochManager | None = None,
+    progress: ProgressCallback | None = None,
+    is_cancelled: Callable[[], bool] | None = None,
+) -> IndexStats:
+    """Headless single-pass API (reference run_index_once)."""
+    return IndexPipeline(
+        db_path, settings, tagger,
+        epoch_manager=epoch_manager, progress=progress, is_cancelled=is_cancelled,
+    ).run()

@@ -1,0 +1,122 @@
+"""Scan stage: sync filesystem state into the catalog, decide who needs tagging.
+
+Change-detection parity with the reference (``scan_stage.py:210-261``):
+size/mtime mismatch triggers a sha256 recompute; ``needs_tagging`` is
+new | changed | untagged | tagger_sig-mismatch — so a model/threshold change
+(different fingerprint) automatically re-tags the library.
+"""
+
+from __future__ import annotations
+
+import logging
+import sqlite3
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Sequence
+
+from kobato_eyes_tpu.core.pipeline.contracts import FileRecord, ScanResult
+from kobato_eyes_tpu.core.progress import IndexPhase, IndexProgress, ProgressEmitter
+from kobato_eyes_tpu.core.scanner import ScannedFile, iter_images
+from kobato_eyes_tpu.db.repository import fetch_files_by_paths, mark_files_absent, upsert_file
+from kobato_eyes_tpu.utils.hashing import compute_sha256
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ScanStageConfig:
+    roots: Sequence[str | Path]
+    excluded: Sequence[str | Path] = ()
+    allow_exts: Sequence[str] | None = None
+    detect_missing: bool = True
+
+
+class ScanStage:
+    def __init__(
+        self,
+        config: ScanStageConfig,
+        *,
+        tagger_sig: str,
+        is_cancelled: Callable[[], bool] | None = None,
+    ) -> None:
+        self._config = config
+        self._tagger_sig = tagger_sig
+        self._is_cancelled = is_cancelled or (lambda: False)
+
+    def run(self, conn: sqlite3.Connection, progress: ProgressEmitter) -> ScanResult:
+        t0 = time.perf_counter()
+        scanned: list[ScannedFile] = list(
+            iter_images(
+                self._config.roots,
+                excluded=self._config.excluded,
+                allow_exts=self._config.allow_exts,
+            )
+        )
+        progress.phase(IndexPhase.SCAN, 0, len(scanned))
+        result = ScanResult()
+        existing = fetch_files_by_paths(conn, [str(s.path) for s in scanned])
+
+        for i, item in enumerate(scanned):
+            if self._is_cancelled():
+                break
+            row = existing.get(str(item.path))
+            is_new = row is None
+            changed = False
+            sha = None
+            if not is_new:
+                changed = (row["size"] or -1) != item.size or abs(
+                    (row["mtime"] or 0.0) - item.mtime
+                ) > 1e-6
+            if is_new or changed:
+                try:
+                    sha = compute_sha256(item.path)
+                except OSError as exc:
+                    logger.warning("hash failed for %s: %s; skipping", item.path, exc)
+                    continue  # unreadable: per-item skip
+                if not is_new and sha == row["sha256"]:
+                    changed = False  # touched but content-identical
+            file_id = upsert_file(
+                conn, path=item.path, size=item.size, mtime=item.mtime, sha256=sha
+            )
+            untagged = is_new or not bool(row["has_tags"]) if row is not None else True
+            sig_mismatch = (row["tagger_sig"] if row is not None else None) != self._tagger_sig
+            needs = is_new or changed or untagged or sig_mismatch
+            result.records.append(
+                FileRecord(
+                    file_id=file_id, path=item.path, size=item.size, mtime=item.mtime,
+                    width=row["width"] if row is not None else None,
+                    height=row["height"] if row is not None else None,
+                    needs_tagging=needs,
+                )
+            )
+            result.new += int(is_new)
+            result.changed += int(changed and not is_new)
+            progress.emit(IndexProgress(IndexPhase.SCAN, i + 1, len(scanned)))
+        conn.commit()
+
+        if self._config.detect_missing and not self._is_cancelled():
+            result.missing_ids = self._find_missing(conn, scanned)
+            if result.missing_ids:
+                mark_files_absent(conn, result.missing_ids)
+                conn.commit()
+
+        logger.info(
+            "scan: %d files (%d new, %d changed, %d missing) in %.2fs",
+            len(result.records), result.new, result.changed,
+            len(result.missing_ids), time.perf_counter() - t0,
+        )
+        progress.phase(IndexPhase.SCAN, len(scanned), len(scanned))
+        return result
+
+    def _find_missing(self, conn: sqlite3.Connection, scanned: list[ScannedFile]) -> list[int]:
+        """Present rows under the scan roots whose file no longer exists."""
+        seen = {str(s.path) for s in scanned}
+        missing: list[int] = []
+        for root in self._config.roots:
+            pattern = str(Path(root).absolute()).rstrip("/\\") + "%"
+            rows = conn.execute(
+                "SELECT id, path FROM files WHERE is_present = 1 AND path LIKE ?", (pattern,)
+            ).fetchall()
+            missing.extend(int(r["id"]) for r in rows if r["path"] not in seen)
+        return missing

@@ -1,0 +1,152 @@
+"""Tag stage: prefetch-loaded batches through the device tagger.
+
+Parity behaviors from the reference (``core/pipeline/stages/tag_stage.py``):
+
+* records sorted by (parent, size) for IO locality (done in the loader);
+* **halving retry** — a failed batch is recursively split in two so one
+  poison image costs log2(B) retries, not the batch (:200-214);
+* duplicate tag names within one result keep the max score (:283-292);
+* emits WriteItems to the async writer and flips record state.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Protocol, Sequence
+
+import numpy as np
+
+from kobato_eyes_tpu.core.pipeline.contracts import FileRecord, WriteItem
+from kobato_eyes_tpu.core.pipeline.loaders import PreparedBatch, PrefetchLoader
+from kobato_eyes_tpu.core.progress import IndexPhase, IndexProgress, ProgressEmitter
+from kobato_eyes_tpu.models.base import ITagger, TagResult
+
+logger = logging.getLogger(__name__)
+
+
+class WriteSink(Protocol):
+    def put(self, item: WriteItem, *, timeout: float | None = None) -> None: ...
+
+
+@dataclass
+class TagStageResult:
+    tagged: int = 0
+    failed: int = 0
+    skipped: int = 0
+    infer_seconds: float = 0.0
+    batches: int = 0
+    failed_ids: list[int] = field(default_factory=list)
+
+
+class TagStage:
+    def __init__(
+        self,
+        tagger: ITagger,
+        *,
+        tagger_sig: str,
+        batch_size: int = 32,
+        prefetch_depth: int = 4,
+        io_workers: int = 8,
+        is_cancelled: Callable[[], bool] | None = None,
+    ) -> None:
+        self._tagger = tagger
+        self._tagger_sig = tagger_sig
+        self._batch_size = batch_size
+        self._prefetch_depth = prefetch_depth
+        self._io_workers = io_workers
+        self._is_cancelled = is_cancelled or (lambda: False)
+
+    def run(
+        self,
+        records: Sequence[FileRecord],
+        sink: WriteSink,
+        progress: ProgressEmitter,
+    ) -> TagStageResult:
+        todo = [r for r in records if r.needs_tagging]
+        result = TagStageResult(skipped=len(records) - len(todo))
+        if not todo:
+            return result
+        progress.phase(IndexPhase.TAG, 0, len(todo))
+        loader = PrefetchLoader(
+            todo,
+            prepare=self._tagger.prepare_batch_from_rgb,
+            batch_size=self._batch_size,
+            prefetch_depth=self._prefetch_depth,
+            io_workers=self._io_workers,
+            is_cancelled=self._is_cancelled,
+        )
+        done = 0
+        for batch in loader:
+            if self._is_cancelled():
+                break
+            self._infer_with_retry(batch, sink, result)
+            done += len(batch.records)
+            progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
+        # decode failures discovered by the loader
+        for r in todo:
+            if r.failed and r.file_id not in result.failed_ids:
+                result.failed += 1
+                result.failed_ids.append(r.file_id)
+        logger.info(
+            "tag: %d tagged, %d failed, %d skipped, infer=%.2fs over %d batches",
+            result.tagged, result.failed, result.skipped,
+            result.infer_seconds, result.batches,
+        )
+        return result
+
+    def _infer_with_retry(
+        self, batch: PreparedBatch, sink: WriteSink, result: TagStageResult
+    ) -> None:
+        """Run one prepared batch; on failure split in half recursively
+        (reference halving retry)."""
+        try:
+            t0 = time.perf_counter()
+            outputs = self._tagger.infer_batch_prepared(batch.pixels)
+            result.infer_seconds += time.perf_counter() - t0
+            result.batches += 1
+        except Exception:  # noqa: BLE001
+            n = len(batch.records)
+            if n <= 1:
+                logger.exception("inference failed for %s; skipping", batch.records[0].path)
+                batch.records[0].failed = True
+                result.failed += 1
+                result.failed_ids.append(batch.records[0].file_id)
+                return
+            mid = n // 2
+            logger.warning("batch of %d failed; retrying as %d + %d", n, mid, n - mid)
+            for lo, hi in ((0, mid), (mid, n)):
+                sub = PreparedBatch(
+                    records=batch.records[lo:hi],
+                    pixels=batch.pixels[lo:hi],
+                    sizes=batch.sizes[lo:hi],
+                )
+                self._infer_with_retry(sub, sink, result)
+            return
+
+        now = time.time()
+        for record, output in zip(batch.records, outputs):
+            sink.put(self._to_write_item(record, output, now))
+            record.tagged = True
+            result.tagged += 1
+
+    def _to_write_item(self, record: FileRecord, output: TagResult, now: float) -> WriteItem:
+        # Duplicate names keep the max score (reference tag_stage.py:283-292).
+        merged: dict[str, tuple[float, int]] = {}
+        for t in output.tags:
+            prev = merged.get(t.name)
+            if prev is None or t.score > prev[0]:
+                merged[t.name] = (float(t.score), int(t.category))
+        return WriteItem(
+            file_id=record.file_id,
+            tags=[(name, score, cat) for name, (score, cat) in merged.items()],
+            width=record.width,
+            height=record.height,
+            tagger_sig=self._tagger_sig,
+            tagged_at=now,
+        )
+
+
+def batch_pixels_view(pixels: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    return pixels[lo:hi]

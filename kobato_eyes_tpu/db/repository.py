@@ -1,0 +1,480 @@
+"""Catalog CRUD + SQL search fallback.
+
+Function-level parity with the reference repository (``src/db/repository.py``):
+COALESCE-style file upsert, batch tagging writes, signature upserts, dup-scan
+row iteration, soft delete, threshold table access, and a ``search_files``
+that preserves the relevance-CTE semantics (:295-408) — used as the
+executable spec the device query engine is tested against, and as the
+fallback path when no device epoch is resident.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterable, Iterator, Mapping, Sequence
+
+from kobato_eyes_tpu.models.base import TagCategory
+
+_CHUNK = 900  # SQLite parameter-count safety (reference uses 900-id chunks)
+
+
+def _chunks(seq: Sequence, n: int = _CHUNK) -> Iterator[Sequence]:
+    for i in range(0, len(seq), n):
+        yield seq[i : i + n]
+
+
+# ---------------------------------------------------------------------------
+# files
+# ---------------------------------------------------------------------------
+
+
+def upsert_file(
+    conn: sqlite3.Connection,
+    *,
+    path: str | Path,
+    size: int | None = None,
+    mtime: float | None = None,
+    sha256: str | None = None,
+    width: int | None = None,
+    height: int | None = None,
+    tagger_sig: str | None = None,
+    last_tagged_at: float | None = None,
+) -> int:
+    """Insert or update one file row; unspecified fields keep their values
+    (reference repository.py:32-102 COALESCE semantics). Returns the id."""
+    now = time.time()
+    row = conn.execute(
+        """
+        INSERT INTO files (path, size, mtime, sha256, width, height, tagger_sig,
+                           last_tagged_at, is_present, created_at, updated_at)
+        VALUES (?, ?, ?, ?, ?, ?, ?, ?, 1, ?, ?)
+        ON CONFLICT(path) DO UPDATE SET
+            size = COALESCE(excluded.size, files.size),
+            mtime = COALESCE(excluded.mtime, files.mtime),
+            sha256 = COALESCE(excluded.sha256, files.sha256),
+            width = COALESCE(excluded.width, files.width),
+            height = COALESCE(excluded.height, files.height),
+            tagger_sig = COALESCE(excluded.tagger_sig, files.tagger_sig),
+            last_tagged_at = COALESCE(excluded.last_tagged_at, files.last_tagged_at),
+            is_present = 1,
+            updated_at = excluded.updated_at
+        RETURNING id
+        """,
+        (str(path), size, mtime, sha256, width, height, tagger_sig, last_tagged_at, now, now),
+    ).fetchone()
+    return int(row[0])
+
+
+def fetch_files_by_paths(
+    conn: sqlite3.Connection, paths: Sequence[str]
+) -> dict[str, sqlite3.Row]:
+    """Bulk fetch rows (with a has-tags flag) keyed by path, chunked
+    (reference scan_stage.py:130-148)."""
+    out: dict[str, sqlite3.Row] = {}
+    for chunk in _chunks(list(paths)):
+        ph = ",".join("?" * len(chunk))
+        rows = conn.execute(
+            f"""
+            SELECT f.*, EXISTS(
+                SELECT 1 FROM file_tags ft WHERE ft.file_id = f.id
+            ) AS has_tags
+            FROM files f WHERE f.path IN ({ph})
+            """,
+            list(chunk),
+        ).fetchall()
+        for row in rows:
+            out[row["path"]] = row
+    return out
+
+
+def get_file_by_path(conn: sqlite3.Connection, path: str | Path) -> sqlite3.Row | None:
+    return conn.execute("SELECT * FROM files WHERE path = ?", (str(path),)).fetchone()
+
+
+def mark_files_absent(conn: sqlite3.Connection, file_ids: Sequence[int]) -> int:
+    """Soft delete (reference repository.py:578-591)."""
+    n = 0
+    for chunk in _chunks(list(file_ids)):
+        ph = ",".join("?" * len(chunk))
+        cur = conn.execute(
+            f"UPDATE files SET is_present = 0, updated_at = ? WHERE id IN ({ph})",
+            [time.time(), *chunk],
+        )
+        n += cur.rowcount
+    return n
+
+
+def delete_files(conn: sqlite3.Connection, file_ids: Sequence[int]) -> int:
+    """Hard delete rows + dependents (reference manual_refresh.py:200-280)."""
+    n = 0
+    for chunk in _chunks(list(file_ids)):
+        ph = ",".join("?" * len(chunk))
+        conn.execute(f"DELETE FROM file_tags WHERE file_id IN ({ph})", list(chunk))
+        conn.execute(f"DELETE FROM signatures WHERE file_id IN ({ph})", list(chunk))
+        conn.execute(f"DELETE FROM embeddings WHERE file_id IN ({ph})", list(chunk))
+        cur = conn.execute(f"DELETE FROM files WHERE id IN ({ph})", list(chunk))
+        n += cur.rowcount
+    return n
+
+
+def list_untagged_under_path(conn: sqlite3.Connection, root: str | Path) -> list[sqlite3.Row]:
+    """Present files under a root with no tagger signature
+    (reference manual_refresh.py:30-180 LIKE pattern)."""
+    pattern = str(root).rstrip("/\\") + "%"
+    return conn.execute(
+        """
+        SELECT * FROM files
+        WHERE is_present = 1 AND path LIKE ?
+          AND (tagger_sig IS NULL OR tagger_sig = '')
+        ORDER BY path
+        """,
+        (pattern,),
+    ).fetchall()
+
+
+def clear_tagger_sig(
+    conn: sqlite3.Connection,
+    file_ids: Sequence[int] | None = None,
+    *,
+    only_sig: str | None = None,
+) -> int:
+    """Invalidate tagging state so the next index re-tags
+    (reference retag.py:46-96)."""
+    if file_ids is None:
+        if only_sig is None:
+            cur = conn.execute("UPDATE files SET tagger_sig = NULL, last_tagged_at = NULL")
+        else:
+            cur = conn.execute(
+                "UPDATE files SET tagger_sig = NULL, last_tagged_at = NULL WHERE tagger_sig = ?",
+                (only_sig,),
+            )
+        return cur.rowcount
+    n = 0
+    for chunk in _chunks(list(file_ids)):
+        ph = ",".join("?" * len(chunk))
+        cur = conn.execute(
+            f"UPDATE files SET tagger_sig = NULL, last_tagged_at = NULL WHERE id IN ({ph})",
+            list(chunk),
+        )
+        n += cur.rowcount
+    return n
+
+
+# ---------------------------------------------------------------------------
+# tags / tagging writes
+# ---------------------------------------------------------------------------
+
+
+def upsert_tags(
+    conn: sqlite3.Connection, tags: Iterable[tuple[str, int]]
+) -> dict[str, int]:
+    """name->(id) upsert keeping the first-seen category (reference tags.py:10-27)."""
+    ids: dict[str, int] = {}
+    for name, category in tags:
+        row = conn.execute(
+            """
+            INSERT INTO tags (name, category) VALUES (?, ?)
+            ON CONFLICT(name) DO UPDATE SET category = tags.category
+            RETURNING id
+            """,
+            (name, int(category)),
+        ).fetchone()
+        ids[name] = int(row[0])
+    return ids
+
+
+@dataclass(frozen=True)
+class TaggingItem:
+    """One file's tagging result to persist (reference contracts.py DBItem)."""
+
+    file_id: int
+    tags: list[tuple[str, float, int]]  # (name, score, category)
+    width: int | None = None
+    height: int | None = None
+    tagger_sig: str | None = None
+    tagged_at: float | None = None
+
+
+def write_tagging_batch(conn: sqlite3.Connection, items: Sequence[TaggingItem]) -> None:
+    """Single-transaction batch write (reference repository.py:501-575):
+    upsert tag defs, replace file_tags per file, update file metadata."""
+    if not items:
+        return
+    all_tags = {(name, cat) for item in items for (name, _s, cat) in item.tags}
+    with conn:
+        tag_ids = upsert_tags(conn, sorted(all_tags))
+        file_ids = [item.file_id for item in items]
+        for chunk in _chunks(file_ids):
+            ph = ",".join("?" * len(chunk))
+            conn.execute(f"DELETE FROM file_tags WHERE file_id IN ({ph})", list(chunk))
+        rows = [
+            (item.file_id, tag_ids[name], float(score))
+            for item in items
+            for (name, score, _cat) in item.tags
+        ]
+        conn.executemany(
+            "INSERT OR REPLACE INTO file_tags (file_id, tag_id, score) VALUES (?, ?, ?)", rows
+        )
+        now = time.time()
+        conn.executemany(
+            """
+            UPDATE files SET width = COALESCE(?, width), height = COALESCE(?, height),
+                   tagger_sig = COALESCE(?, tagger_sig),
+                   last_tagged_at = COALESCE(?, last_tagged_at), updated_at = ?
+            WHERE id = ?
+            """,
+            [
+                (i.width, i.height, i.tagger_sig, i.tagged_at or now, now, i.file_id)
+                for i in items
+            ],
+        )
+
+
+def tags_for_files(
+    conn: sqlite3.Connection, file_ids: Sequence[int]
+) -> dict[int, list[tuple[str, float, int]]]:
+    """Hydrate (name, score, category) per file in chunks
+    (reference repository.py:373-389)."""
+    out: dict[int, list[tuple[str, float, int]]] = {fid: [] for fid in file_ids}
+    for chunk in _chunks(list(file_ids)):
+        ph = ",".join("?" * len(chunk))
+        rows = conn.execute(
+            f"""
+            SELECT ft.file_id, t.name, ft.score, t.category
+            FROM file_tags ft JOIN tags t ON t.id = ft.tag_id
+            WHERE ft.file_id IN ({ph})
+            ORDER BY ft.score DESC, t.name
+            """,
+            list(chunk),
+        ).fetchall()
+        for r in rows:
+            out[int(r["file_id"])].append((r["name"], float(r["score"]), int(r["category"])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# signatures
+# ---------------------------------------------------------------------------
+
+
+def upsert_signatures(
+    conn: sqlite3.Connection, rows: Iterable[tuple[int, int | None, int | None]]
+) -> None:
+    """(file_id, phash_signed64, dhash_signed64) bulk upsert."""
+    conn.executemany(
+        """
+        INSERT INTO signatures (file_id, phash_u64, dhash_u64) VALUES (?, ?, ?)
+        ON CONFLICT(file_id) DO UPDATE SET
+            phash_u64 = COALESCE(excluded.phash_u64, signatures.phash_u64),
+            dhash_u64 = COALESCE(excluded.dhash_u64, signatures.dhash_u64)
+        """,
+        list(rows),
+    )
+
+
+def iter_files_for_dup(conn: sqlite3.Connection) -> list[sqlite3.Row]:
+    """Present files joined with signatures (reference repository.py:416-454)."""
+    return conn.execute(
+        """
+        SELECT f.id, f.path, f.size, f.width, f.height, s.phash_u64, s.dhash_u64
+        FROM files f LEFT JOIN signatures s ON s.file_id = f.id
+        WHERE f.is_present = 1
+        ORDER BY f.id
+        """
+    ).fetchall()
+
+
+def missing_signature_ids(conn: sqlite3.Connection) -> list[tuple[int, str]]:
+    return [
+        (int(r["id"]), r["path"])
+        for r in conn.execute(
+            """
+            SELECT f.id, f.path FROM files f
+            LEFT JOIN signatures s ON s.file_id = f.id
+            WHERE f.is_present = 1 AND (s.file_id IS NULL OR s.phash_u64 IS NULL)
+            """
+        ).fetchall()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# thresholds
+# ---------------------------------------------------------------------------
+
+
+def load_tag_thresholds(conn: sqlite3.Connection) -> dict[int, float]:
+    """Per-DB search-threshold overrides (reference db/common.py:47-74)."""
+    return {
+        int(r["category"]): float(r["threshold"])
+        for r in conn.execute("SELECT category, threshold FROM tagger_thresholds").fetchall()
+    }
+
+
+def set_tag_threshold(conn: sqlite3.Connection, category: int, threshold: float) -> None:
+    with conn:
+        conn.execute(
+            """
+            INSERT INTO tagger_thresholds (category, threshold) VALUES (?, ?)
+            ON CONFLICT(category) DO UPDATE SET threshold = excluded.threshold
+            """,
+            (int(category), float(threshold)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# search (SQL fallback / executable spec for the device engine)
+# ---------------------------------------------------------------------------
+
+_ORDER_WHITELIST = {
+    "relevance": "relevance DESC, f.mtime DESC, f.id",
+    "mtime": "f.mtime DESC, f.id",
+    "path": "f.path, f.id",
+    "id": "f.id",
+}
+
+
+@dataclass
+class SearchResult:
+    file_id: int
+    path: str
+    size: int | None
+    mtime: float | None
+    width: int | None
+    height: int | None
+    relevance: float
+    tags: list[tuple[str, float, int]] = field(default_factory=list)
+
+
+def search_files(
+    conn: sqlite3.Connection,
+    where: str,
+    params: Sequence[object],
+    *,
+    positive_tags: Sequence[str] = (),
+    thresholds: Mapping[int, float] | None = None,
+    order_by: str = "relevance",
+    limit: int = 200,
+    offset: int = 0,
+    hydrate: bool = True,
+) -> list[SearchResult]:
+    """Relevance-ordered search (reference repository.py:295-408).
+
+    Relevance = SUM(score) over the query's positive tags whose score clears
+    the per-category threshold, 0 when no positive tags.
+    """
+    if order_by not in _ORDER_WHITELIST:
+        raise ValueError(f"order_by must be one of {sorted(_ORDER_WHITELIST)}")
+    thr = dict(thresholds or {})
+    g = float(thr.get(int(TagCategory.GENERAL), 0.0))
+    ch = float(thr.get(int(TagCategory.CHARACTER), 0.0))
+    cp = float(thr.get(int(TagCategory.COPYRIGHT), 0.0))
+    default = float(thr.get(-1, 0.0))
+
+    if positive_tags:
+        ph = ",".join("?" * len(positive_tags))
+        cte = f"""
+        WITH q AS (
+            SELECT ft.file_id AS file_id, SUM(ft.score) AS relevance
+            FROM file_tags ft JOIN tags t ON t.id = ft.tag_id
+            WHERE t.name IN ({ph})
+              AND ft.score >= CASE t.category
+                  WHEN {int(TagCategory.GENERAL)} THEN ?
+                  WHEN {int(TagCategory.CHARACTER)} THEN ?
+                  WHEN {int(TagCategory.COPYRIGHT)} THEN ?
+                  ELSE ? END
+            GROUP BY ft.file_id
+        )
+        """
+        rel_expr = "COALESCE(q.relevance, 0.0)"
+        join = "LEFT JOIN q ON q.file_id = f.id"
+        pre_params: list[object] = [*positive_tags, g, ch, cp, default]
+    else:
+        cte = ""
+        rel_expr = "0.0"
+        join = ""
+        pre_params = []
+
+    sql = f"""
+    {cte}
+    SELECT f.id, f.path, f.size, f.mtime, f.width, f.height, {rel_expr} AS relevance
+    FROM files f {join}
+    WHERE f.is_present = 1 AND ({where})
+    ORDER BY {_ORDER_WHITELIST[order_by]}
+    LIMIT ? OFFSET ?
+    """
+    rows = conn.execute(sql, [*pre_params, *params, limit, offset]).fetchall()
+    results = [
+        SearchResult(
+            file_id=int(r["id"]), path=r["path"], size=r["size"], mtime=r["mtime"],
+            width=r["width"], height=r["height"], relevance=float(r["relevance"]),
+        )
+        for r in rows
+    ]
+    if hydrate and results:
+        tag_map = tags_for_files(conn, [r.file_id for r in results])
+        for r in results:
+            r.tags = tag_map.get(r.file_id, [])
+    return results
+
+
+def tag_stats(
+    conn: sqlite3.Connection,
+    *,
+    category: int | None = None,
+    name_like: str | None = None,
+    thresholds: Mapping[int, float] | None = None,
+    limit: int = 1000,
+) -> list[sqlite3.Row]:
+    """Aggregated per-tag stats (reference ui/tag_stats.py:143-210 SQL)."""
+    thr = dict(thresholds or {})
+    g = float(thr.get(int(TagCategory.GENERAL), 0.0))
+    ch = float(thr.get(int(TagCategory.CHARACTER), 0.0))
+    cp = float(thr.get(int(TagCategory.COPYRIGHT), 0.0))
+    default = float(thr.get(-1, 0.0))
+    conds = []
+    params: list[object] = [g, ch, cp, default]
+    if category is not None:
+        conds.append("t.category = ?")
+        params.append(int(category))
+    if name_like:
+        conds.append("t.name LIKE ?")
+        params.append(f"%{name_like}%")
+    where = (" AND " + " AND ".join(conds)) if conds else ""
+    params.append(limit)
+    return conn.execute(
+        f"""
+        SELECT t.name, t.category,
+               COUNT(DISTINCT ft.file_id) AS file_count,
+               AVG(ft.score) AS avg_score, MAX(ft.score) AS max_score
+        FROM tags t JOIN file_tags ft ON ft.tag_id = t.id
+        WHERE ft.score >= CASE t.category
+              WHEN {int(TagCategory.GENERAL)} THEN ?
+              WHEN {int(TagCategory.CHARACTER)} THEN ?
+              WHEN {int(TagCategory.COPYRIGHT)} THEN ?
+              ELSE ? END
+        {where}
+        GROUP BY t.id ORDER BY file_count DESC, t.name LIMIT ?
+        """,
+        params,
+    ).fetchall()
+
+
+def autocomplete_tags(
+    conn: sqlite3.Connection, prefix: str, *, limit: int = 20
+) -> list[tuple[str, int, int]]:
+    """(name, category, usage_count) for prefix completion."""
+    return [
+        (r["name"], int(r["category"]), int(r["n"]))
+        for r in conn.execute(
+            """
+            SELECT t.name, t.category, COUNT(ft.file_id) AS n
+            FROM tags t LEFT JOIN file_tags ft ON ft.tag_id = t.id
+            WHERE t.name LIKE ? GROUP BY t.id
+            ORDER BY n DESC, t.name LIMIT ?
+            """,
+            (prefix + "%", limit),
+        ).fetchall()
+    ]

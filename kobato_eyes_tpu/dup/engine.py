@@ -20,7 +20,7 @@ from kobato_eyes_tpu.dup.types import (
     DuplicateScanConfig,
     assemble_clusters,
 )
-from kobato_eyes_tpu.ops.hamming import band_keys_np, bucket_ok_np, edge_scan
+from kobato_eyes_tpu.ops.hamming import band_keys_np, bucket_ok_np, edge_scan_banded
 from kobato_eyes_tpu.utils.bits import U64_MASK
 
 logger = logging.getLogger(__name__)
@@ -77,15 +77,24 @@ class TpuDuplicateScanner:
             [(ph >> np.uint64(32)).astype(np.uint32), (ph & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
             axis=-1,
         )
-        ei, ej, dists = edge_scan(
+        ei, ej, dists = edge_scan_banded(
             ph_pairs, keys, ok,
             hamming_threshold=cfg.hamming_threshold,
             sizes=sizes,
             size_ratio=cfg.size_ratio,
-            embeddings=embeddings,
-            cosine_threshold=cfg.cosine_threshold if embeddings is not None else None,
-            block=min(self._block, len(unique)),
         )
+        if embeddings is not None and cfg.cosine_threshold is not None and len(ei):
+            # Cosine verification post-filters the (tiny) edge list — same
+            # semantics as the reference's per-pair filter: zero-norm
+            # embeddings pass (scanner _passes_cosine).
+            norms = np.linalg.norm(embeddings, axis=1)
+            valid = norms > 0
+            unit = np.where(
+                valid[:, None], embeddings / np.maximum(norms, 1e-30)[:, None], 0.0
+            )
+            cos = np.einsum("nd,nd->n", unit[ei], unit[ej])
+            keep = (~(valid[ei] & valid[ej])) | (cos >= cfg.cosine_threshold)
+            ei, ej, dists = ei[keep], ej[keep], dists[keep]
         n_pairs_scanned = len(unique) * (len(unique) - 1) // 2
         logger.info(
             "dup: pairs scanned=%d -> edges=%d in %.3fs",

@@ -1,0 +1,296 @@
+"""JAX taggers: WD14-class and PixAI-class multi-label image classifiers.
+
+TPU-native replacement for the ONNX-Runtime taggers
+(``src/tagger/wd14_onnx.py:106``, ``src/tagger/pixai_onnx.py:24``).  One
+jitted program per batch shape runs: uint8 device upload -> normalization ->
+ViT forward -> prob conversion -> threshold mask -> top-K.  Only the final
+budget walk over <=128 candidates happens on host.
+
+Weights come from an orbax/msgpack checkpoint or random init (for benchmark
+and test runs); the scoring *policy* (thresholds, floors, caps, budgets,
+ips propagation) is bit-parity with the reference regardless of weights.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kobato_eyes_tpu.models.base import (
+    DEFAULT_SCORE_FLOOR,
+    DEFAULT_TOPK_CAP,
+    MaxTagsMap,
+    PIXAI_DEFAULT_MAX_TAGS,
+    PIXAI_DEFAULT_THRESHOLDS,
+    TagResult,
+    ThresholdMap,
+    WD14_DEFAULT_THRESHOLDS,
+)
+from kobato_eyes_tpu.models.labels import TagMeta, load_labels, synthetic_labels
+from kobato_eyes_tpu.models.postprocess import (
+    build_threshold_vector,
+    probs_from_logits,
+    resolve_limits,
+    select_pixai,
+    select_wd14,
+    topk_hits,
+    topk_hits_by_category,
+)
+from kobato_eyes_tpu.models.preprocess import PreprocessSpec, normalize_on_device, prepare_batch
+from kobato_eyes_tpu.models.vit import ViT, ViTConfig, init_params, vit_config
+
+logger = logging.getLogger(__name__)
+
+
+class JaxTagger:
+    """Shared machinery for WD14/PixAI-style taggers."""
+
+    mode: str = "wd14"
+    default_thresholds: dict[int, float] = WD14_DEFAULT_THRESHOLDS
+    default_max_tags: dict[int, int | None] = {}
+
+    def __init__(
+        self,
+        *,
+        labels: Sequence[TagMeta] | None = None,
+        labels_path: str | Path | None = None,
+        vit: ViTConfig | None = None,
+        preset: str = "base",
+        params: Any = None,
+        checkpoint_path: str | Path | None = None,
+        image_size: int = 448,
+        score_floor: float = DEFAULT_SCORE_FLOOR,
+        topk_cap: int = DEFAULT_TOPK_CAP,
+        thresholds: ThresholdMap | None = None,
+        max_tags: MaxTagsMap | None = None,
+        seed: int = 0,
+    ) -> None:
+        if labels is None and labels_path is not None:
+            labels = load_labels(labels_path)
+        if labels is None:
+            labels = synthetic_labels(1024)
+        self.labels: list[TagMeta] = list(labels)
+        self.names: list[str] = [m.name for m in self.labels]
+        self.cats: np.ndarray = np.array([int(m.category) for m in self.labels], dtype=np.int32)
+        self._tag_meta = {m.name: m for m in self.labels}
+        self._name_to_idx = {m.name: i for i, m in enumerate(self.labels)}
+
+        self.cfg = vit or vit_config(preset, image_size=image_size, num_classes=len(self.labels))
+        if self.cfg.num_classes != len(self.labels):
+            raise ValueError(
+                f"model head ({self.cfg.num_classes}) != label count ({len(self.labels)})"
+            )
+        self.spec = PreprocessSpec(mode=self.mode, size=self.cfg.image_size)
+        self.score_floor = float(score_floor)
+        self.topk_cap = int(topk_cap)
+        self.thresholds: dict[int, float] = dict(self.default_thresholds)
+        if thresholds:
+            self.thresholds.update({int(k): float(v) for k, v in thresholds.items()})
+        self.max_tags: dict[int, int | None] = resolve_limits(self.default_max_tags, max_tags)
+        self._thr_vec_np = build_threshold_vector(
+            self.cats, self.thresholds, score_floor=self.score_floor
+        )
+        self._cat_vec_dev = jnp.asarray(self.cats)
+
+        self._model = ViT(self.cfg)
+        self._checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
+        if params is not None:
+            self.params = params
+        elif self._checkpoint_path is not None:
+            self.params = load_checkpoint(self._checkpoint_path)
+        else:
+            logger.info(
+                "tagger %s: random-init weights (%d labels, %s preset)",
+                self.mode, len(self.labels), preset,
+            )
+            self.params = init_params(self.cfg, seed=seed)
+
+    # -- identity ---------------------------------------------------------
+
+    @property
+    def input_size(self) -> int:
+        return self.cfg.image_size
+
+    def signature_fields(self) -> dict[str, str]:
+        """Stable fingerprint inputs (reference core/pipeline/signature.py:40-66)."""
+        label_digest = hashlib.sha256(
+            "\n".join(f"{m.name}:{int(m.category)}" for m in self.labels).encode()
+        ).hexdigest()[:16]
+        arch = f"vit-d{self.cfg.depth}-h{self.cfg.hidden_dim}-p{self.cfg.patch_size}-{self.cfg.image_size}"
+        return {
+            "name": self.mode,
+            "arch": arch,
+            "labels": label_digest,
+            "ckpt": str(self._checkpoint_path or "random"),
+            "thr": json.dumps(self.thresholds, sort_keys=True),
+            "max": json.dumps({k: v for k, v in self.max_tags.items()}, sort_keys=True),
+            "floor": repr(self.score_floor),
+            "cap": str(self.topk_cap),
+        }
+
+    # -- host prepare -----------------------------------------------------
+
+    def prepare_batch_from_rgb(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        return prepare_batch(list(images), self.spec)
+
+    # -- device forward ---------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _forward_probs(self, params: Any, batch_u8: jnp.ndarray) -> jnp.ndarray:
+        x = normalize_on_device(batch_u8, self.spec)
+        logits = self._model.apply({"params": params}, x)
+        return probs_from_logits(logits)
+
+    def forward_probs(self, batch_u8: np.ndarray) -> jnp.ndarray:
+        return self._forward_probs(self.params, jnp.asarray(batch_u8))
+
+    # -- full inference ---------------------------------------------------
+
+    def infer_batch_prepared(
+        self,
+        batch: np.ndarray,
+        *,
+        thresholds: ThresholdMap | None = None,
+        max_tags: MaxTagsMap | None = None,
+    ) -> list[TagResult]:
+        thr_vec = (
+            self._thr_vec_np
+            if thresholds is None
+            else build_threshold_vector(
+                self.cats,
+                {**self.thresholds, **{int(k): float(v) for k, v in thresholds.items()}},
+                score_floor=self.score_floor,
+            )
+        )
+        limits = resolve_limits(self.max_tags, max_tags)
+        probs = self.forward_probs(batch)
+        return self._select(probs, thr_vec, limits, thresholds)
+
+    def _select(
+        self,
+        probs: jnp.ndarray,
+        thr_vec: np.ndarray,
+        limits: dict[int, int | None],
+        thresholds: ThresholdMap | None,
+    ) -> list[TagResult]:
+        scores, idx, hits = topk_hits(probs, jnp.asarray(thr_vec), k=min(self.topk_cap, probs.shape[1]))
+        return select_wd14(
+            np.asarray(scores), np.asarray(idx), np.asarray(hits),
+            cats=self.cats, names=self.names, limits=limits, hard_cap=self.topk_cap,
+        )
+
+    def infer_batch(
+        self,
+        images: Sequence[np.ndarray],
+        *,
+        thresholds: ThresholdMap | None = None,
+        max_tags: MaxTagsMap | None = None,
+    ) -> list[TagResult]:
+        batch = self.prepare_batch_from_rgb(images)
+        return self.infer_batch_prepared(batch, thresholds=thresholds, max_tags=max_tags)
+
+
+class WD14Tagger(JaxTagger):
+    """WD14-class tagger: ~8k labels, white-letterbox BGR 0..255 input."""
+
+    mode = "wd14"
+    default_thresholds = WD14_DEFAULT_THRESHOLDS
+    default_max_tags: dict[int, int | None] = {}
+
+
+class PixaiTagger(JaxTagger):
+    """PixAI-class tagger: ~13k labels, normalized input, per-category
+    candidate extraction and character->copyright propagation."""
+
+    mode = "pixai"
+    default_thresholds = PIXAI_DEFAULT_THRESHOLDS
+    default_max_tags = dict(PIXAI_DEFAULT_MAX_TAGS)
+
+    def _select(
+        self,
+        probs: jnp.ndarray,
+        thr_vec: np.ndarray,
+        limits: dict[int, int | None],
+        thresholds: ThresholdMap | None,
+    ) -> list[TagResult]:
+        present = sorted(set(int(c) for c in np.unique(self.cats)))
+        caps = []
+        for cat in present:
+            limit = limits.get(cat)
+            cap = self.topk_cap if limit is None else min(max(0, int(limit)), self.topk_cap)
+            if cap > 0:
+                caps.append((cat, cap))
+        scores, idx = topk_hits_by_category(
+            probs, jnp.asarray(thr_vec), self._cat_vec_dev, caps=tuple(caps)
+        )
+        eff_thresholds = dict(self.thresholds)
+        if thresholds:
+            eff_thresholds.update({int(k): float(v) for k, v in thresholds.items()})
+        # Full prob rows only needed when some candidate has ips links.
+        probs_np = np.asarray(probs) if any(m.ips for m in self.labels) else None
+        return select_pixai(
+            np.asarray(scores), np.asarray(idx), probs_np,
+            cats=self.cats, names=self.names, limits=limits, hard_cap=self.topk_cap,
+            cat_thresholds=eff_thresholds, score_floor=self.score_floor,
+            tag_meta=self._tag_meta, name_to_idx=self._name_to_idx,
+        )
+
+
+class DummyTagger:
+    """Fixed-output tagger for tests/offline runs (reference tagger/dummy.py:13)."""
+
+    mode = "dummy"
+
+    def __init__(self, *, image_size: int = 448) -> None:
+        self._size = image_size
+
+    @property
+    def input_size(self) -> int:
+        return self._size
+
+    def signature_fields(self) -> dict[str, str]:
+        return {"name": "dummy", "arch": "none", "labels": "none", "ckpt": "none",
+                "thr": "{}", "max": "{}", "floor": "0", "cap": "0"}
+
+    def prepare_batch_from_rgb(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        return np.zeros((len(images), 1, 1, 3), dtype=np.uint8)
+
+    def infer_batch_prepared(self, batch: np.ndarray, **_: Any) -> list[TagResult]:
+        from kobato_eyes_tpu.models.base import TagCategory, TagPrediction
+
+        return [
+            TagResult(tags=[TagPrediction(name="1girl", score=0.9, category=TagCategory.GENERAL)])
+            for _ in range(batch.shape[0])
+        ]
+
+    def infer_batch(self, images: Sequence[np.ndarray], **kw: Any) -> list[TagResult]:
+        return self.infer_batch_prepared(self.prepare_batch_from_rgb(images), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint IO (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str | Path, params: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params)
+
+
+def load_checkpoint(path: str | Path) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path)

@@ -1,0 +1,183 @@
+"""Vision Transformer backbone (flax.linen), TPU-first.
+
+The reference taggers are ONNX black boxes of this class (WD14 = SwinV2/ViT
+trained at 448 px; ``src/tagger/wd14_onnx.py:278-300`` infers the 448 input
+from model metadata).  Here the backbone is a native JAX module designed for
+the MXU:
+
+* all matmuls are large and batched (patch-embed as one reshaped matmul,
+  attention/MLP as einsums) — no scalar loops, no dynamic shapes;
+* activations run in ``bfloat16`` with float32 params and float32 softmax/
+  layernorm accumulation (``dtype`` / ``param_dtype`` split);
+* the block stack is ``nn.scan``-compiled (one trace for all layers) and
+  optionally rematerialized to trade FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Architecture hyperparameters.
+
+    Defaults are ViT-B/16 at 448 px — the WD14-class operating point
+    (8k-or-13k-label multi-label tagger, reference README performance table).
+    """
+
+    image_size: int = 448
+    patch_size: int = 16
+    hidden_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    num_classes: int = 8192
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    remat: bool = False
+    pool: str = "cls"  # "cls" | "gap"
+
+    @property
+    def num_patches(self) -> int:
+        side = self.image_size // self.patch_size
+        return side * side
+
+
+_PRESETS: dict[str, dict[str, int]] = {
+    # name: hidden, depth, heads, mlp
+    "tiny": dict(hidden_dim=192, depth=4, num_heads=3, mlp_dim=512),
+    "small": dict(hidden_dim=384, depth=12, num_heads=6, mlp_dim=1536),
+    "base": dict(hidden_dim=768, depth=12, num_heads=12, mlp_dim=3072),
+    "large": dict(hidden_dim=1024, depth=24, num_heads=16, mlp_dim=4096),
+}
+
+
+def vit_config(preset: str = "base", **overrides: Any) -> ViTConfig:
+    if preset not in _PRESETS:
+        raise ValueError(f"unknown ViT preset {preset!r}; have {sorted(_PRESETS)}")
+    kw: dict[str, Any] = dict(_PRESETS[preset])
+    kw.update(overrides)
+    return ViTConfig(**kw)
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        head_dim = cfg.hidden_dim // cfg.num_heads
+        qkv = nn.DenseGeneral(
+            features=(3, cfg.num_heads, head_dim),
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="qkv",
+        )(x)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # (B, T, H, D) attention with f32 softmax accumulation.
+        scale = head_dim**-0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits * scale, axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        return nn.DenseGeneral(
+            features=cfg.hidden_dim,
+            axis=(-2, -1),
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="proj",
+        )(out)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
+        x = x + Attention(cfg, name="attn")(ln("ln1")(x))
+        h = ln("ln2")(x)
+        h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
+        return x + h
+
+
+class _ScanBlock(nn.Module):
+    """Block wrapped for nn.scan (carry = tokens, no per-step inputs)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: Array, _: None) -> tuple[Array, None]:
+        block = Block
+        if self.cfg.remat:
+            block = nn.remat(Block)
+        return block(self.cfg, name="block")(x), None
+
+
+class ViT(nn.Module):
+    """ViT image encoder.
+
+    ``__call__`` returns pooled features; ``logits`` adds the classifier head.
+    Input is NHWC float (preprocessed; see models/preprocess.py).
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: Array, *, features_only: bool = False) -> Array:
+        cfg = self.cfg
+        b, h, w, c = images.shape
+        p = cfg.patch_size
+        if h != cfg.image_size or w != cfg.image_size:
+            raise ValueError(f"expected {cfg.image_size}px input, got {h}x{w}")
+        x = images.astype(cfg.dtype)
+        # Patch embedding as a single big matmul: (B, T, p*p*c) @ (p*p*c, D).
+        x = x.reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, cfg.num_patches, p * p * c)
+        x = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="patch_embed")(x)
+
+        cls = self.param("cls", nn.initializers.zeros, (1, 1, cfg.hidden_dim), cfg.param_dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.hidden_dim)), x], axis=1)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, cfg.num_patches + 1, cfg.hidden_dim),
+            cfg.param_dtype,
+        )
+        x = x + pos.astype(cfg.dtype)
+
+        scan = nn.scan(
+            _ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.depth,
+        )
+        x, _ = scan(cfg, name="blocks")(x, None)
+        x = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ln_final")(x)
+        if cfg.pool == "cls":
+            feat = x[:, 0]
+        else:
+            feat = jnp.mean(x[:, 1:], axis=1)
+        if features_only:
+            return feat
+        head = nn.Dense(
+            cfg.num_classes, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="head"
+        )
+        return head(feat).astype(jnp.float32)
+
+
+def init_params(cfg: ViTConfig, seed: int = 0) -> Any:
+    """Initialize parameters with a tiny dummy batch (shapes only)."""
+    model = ViT(cfg)
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), dummy)["params"]

@@ -217,6 +217,194 @@ def edge_scan(
 
 
 # ---------------------------------------------------------------------------
+# banded windowed scan (the production path)
+# ---------------------------------------------------------------------------
+#
+# The dense scan above evaluates all N^2 pairs; the CPU reference only ever
+# touches pairs that share an LSH bucket, so at scale the dense kernel loses
+# despite vectorization.  The production scan keeps the LSH pruning *and* the
+# vectorization: per band, sort by band key so buckets become contiguous runs,
+# then compare each row only against the next W sorted rows (W >= the largest
+# run, rare oversized buckets fall back to an exact per-bucket host pass).
+# Work drops from O(N^2) to O(N * W * bands) while producing the exact same
+# edge set as the reference's bucket loops.
+
+
+@partial(jax.jit, static_argnames=("window", "max_edges", "use_size"))
+def _windowed_scan_bands(
+    sk: jnp.ndarray,  # (B, N) uint32 sorted band keys
+    sph: jnp.ndarray,  # (B, N, 2) uint32 hashes in per-band sorted order
+    sok: jnp.ndarray,  # (B, N) bool bucket-cap mask in sorted order
+    ssz: jnp.ndarray,  # (B, N) float32 sizes in sorted order
+    hamming_threshold: jnp.ndarray,  # scalar int32
+    size_ratio: jnp.ndarray,  # scalar float32
+    *,
+    window: int,
+    max_edges: int,
+    use_size: bool,
+):
+    """Compare row i against rows i+1..i+window where band keys match — all
+    bands fused into ONE dispatch (host<->device round trips dominate when
+    the chip sits behind a tunnel; one call per scan, not one per band).
+
+    Returns (band, i_sorted, j_sorted, dist, n_edges) padded with -1.
+    """
+    nb, n = sk.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, window, n), 2)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (nb, window, n), 1) + 1
+    jj = col + dd
+    valid = jj < n
+    jjc = jnp.minimum(jj, n - 1)
+
+    # gather along the N axis per band
+    gather = lambda arr: jnp.take_along_axis(arr[:, None, :], jjc, axis=2)  # noqa: E731
+    eq = (sk[:, None, :] == gather(sk)) & valid
+    eq &= sok[:, None, :] & gather(sok)
+    xor_hi = sph[:, None, :, 0] ^ jnp.take_along_axis(sph[:, None, :, 0], jjc, axis=2)
+    xor_lo = sph[:, None, :, 1] ^ jnp.take_along_axis(sph[:, None, :, 1], jjc, axis=2)
+    dist = (
+        jax.lax.population_count(xor_hi) + jax.lax.population_count(xor_lo)
+    ).astype(jnp.int32)
+    mask = eq & (dist <= hamming_threshold)
+    if use_size:
+        si = ssz[:, None, :]
+        sj = gather(ssz)
+        smaller = jnp.minimum(si, sj)
+        larger = jnp.maximum(si, sj)
+        mask &= (smaller <= 0) | (smaller / jnp.maximum(larger, 1.0) >= size_ratio)
+
+    n_edges = jnp.sum(mask, dtype=jnp.int32)
+    b_idx, w_idx, i_idx = jnp.nonzero(mask, size=max_edges, fill_value=-1)
+    j_idx = jnp.where(w_idx >= 0, i_idx + w_idx + 1, -1)
+    d_out = jnp.where(w_idx >= 0, dist[b_idx, w_idx, i_idx], -1)
+    return b_idx, i_idx, j_idx, d_out, n_edges
+
+
+def _run_lengths(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Starts and lengths of equal-key runs in a sorted array."""
+    n = sorted_keys.shape[0]
+    boundaries = np.nonzero(np.diff(sorted_keys))[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [n]])
+    return starts, ends - starts
+
+
+def edge_scan_banded(
+    ph_pairs: np.ndarray,
+    keys_u64: np.ndarray,
+    bucket_ok: np.ndarray,
+    *,
+    hamming_threshold: int,
+    sizes: np.ndarray | None = None,
+    size_ratio: float | None = None,
+    max_window: int = 256,
+    max_edges_hint: int = 1 << 16,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LSH-pruned candidate scan. Returns deduplicated (i, j, dist), i < j.
+
+    Identical edge set to :func:`edge_scan_np` / the reference bucket loops.
+    Cosine filtering is not applied here (callers with embeddings post-filter
+    the edge list — it is tiny after Hamming pruning).
+    """
+    n = ph_pairs.shape[0]
+    if n < 2:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    bands = keys_u64.shape[1]
+    use_size = size_ratio is not None and size_ratio > 0 and sizes is not None
+    sizes_f = (sizes if sizes is not None else np.zeros(n)).astype(np.float32)
+    ph64 = u32pair_to_u64(ph_pairs)
+
+    thr = jnp.int32(hamming_threshold)
+    ratio = jnp.float32(size_ratio or 0.0)
+
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+
+    # Per-band sort on host (cheap), then ONE fused device dispatch for the
+    # windowed compare across all bands.
+    orders = np.empty((bands, n), dtype=np.int64)
+    sks = np.empty((bands, n), dtype=np.uint32)
+    windows = []
+    runs_by_band = []
+    for b in range(bands):
+        keys_b = keys_u64[:, b].astype(np.uint32)
+        order = np.argsort(keys_b, kind="stable")
+        orders[b] = order
+        sks[b] = keys_b[order]
+        starts, lengths = _run_lengths(sks[b])
+        runs_by_band.append((starts, lengths))
+        max_run = int(lengths.max()) if lengths.size else 1
+        windows.append(min(max_run - 1, max_window, n - 1))
+    window = max(windows)
+    if window > 0:
+        # Round up to a power of two (>=8): extra rows are masked by the
+        # key-equality check, and a bounded set of (window, n) shapes keeps
+        # recompilation from dominating wall time.
+        window = min(max(8, int(2 ** np.ceil(np.log2(window)))), max_window, n - 1)
+
+    if window > 0:
+        sph = ph_pairs[orders]  # (B, N, 2)
+        sok = np.take_along_axis(bucket_ok.T, orders, axis=1)  # (B, N)
+        ssz = sizes_f[orders]
+        cap = max(max_edges_hint, 4096)
+        while True:
+            b_s, i_s, j_s, d_s, n_edges = _windowed_scan_bands(
+                jnp.asarray(sks), jnp.asarray(sph), jnp.asarray(sok),
+                jnp.asarray(ssz), thr, ratio,
+                window=window, max_edges=cap, use_size=use_size,
+            )
+            count = int(n_edges)
+            if count <= cap:
+                break
+            cap = int(2 ** np.ceil(np.log2(count + 1)))
+        b_s = np.asarray(b_s[:count])
+        i_s = np.asarray(i_s[:count])
+        j_s = np.asarray(j_s[:count])
+        d_s = np.asarray(d_s[:count])
+        gi = orders[b_s, i_s]
+        gj = orders[b_s, j_s]
+        out_i.append(np.minimum(gi, gj).astype(np.int64))
+        out_j.append(np.maximum(gi, gj).astype(np.int64))
+        out_d.append(d_s.astype(np.int64))
+
+    # Oversized buckets (> window pairs apart) fall back to an exact host
+    # pass; windowed hits inside them are re-found here and deduped below.
+    for b in range(bands):
+        starts, lengths = runs_by_band[b]
+        big = np.nonzero(lengths - 1 > window)[0]
+        for run in big:
+            members = orders[b, starts[run] : starts[run] + lengths[run]]
+            members = members[bucket_ok[members, b]]
+            m = members.shape[0]
+            if m < 2:
+                continue
+            h = ph64[members]
+            dist = popcount64_np(h[:, None] ^ h[None, :]).astype(np.int64)
+            mask = dist <= hamming_threshold
+            if use_size:
+                s = sizes_f[members].astype(np.float64)
+                smaller = np.minimum(s[:, None], s[None, :])
+                larger = np.maximum(s[:, None], s[None, :])
+                mask &= (smaller <= 0) | (smaller / np.maximum(larger, 1.0) >= size_ratio)
+            iu = np.triu_indices(m, k=1)
+            sel = mask[iu]
+            out_i.append(members[iu[0][sel]].astype(np.int64))
+            out_j.append(members[iu[1][sel]].astype(np.int64))
+            out_d.append(dist[iu][sel])
+
+    if not out_i:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    ei = np.concatenate(out_i)
+    ej = np.concatenate(out_j)
+    ed = np.concatenate(out_d)
+    # dedup pairs discovered via multiple bands (or fallback re-finds)
+    key = ei * np.int64(n) + ej
+    _, first = np.unique(key, return_index=True)
+    return ei[first], ej[first], ed[first]
+
+
+# ---------------------------------------------------------------------------
 # numpy reference (executable spec for parity tests)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,138 @@
+"""Asynchronous catalog writer: queue-fed daemon thread with backpressure.
+
+Behavioral parity with the reference's ``DBWritingService``
+(``src/services/db_writing.py:29-442``): bounded queue (default 1024),
+flush chunks of 1024, unsafe-fast vs standard write profiles, worker
+exception capture re-raised at the caller via ``raise_if_failed``, stop
+sentinel with final flush, and a ready event so callers can fail fast when
+the writer can't start.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from pathlib import Path
+
+from kobato_eyes_tpu.core.pipeline.contracts import WriteFlush, WriteItem, WriteStop
+from kobato_eyes_tpu.db.connection import connect
+from kobato_eyes_tpu.db.repository import TaggingItem, write_tagging_batch
+
+logger = logging.getLogger(__name__)
+
+
+class WriterError(RuntimeError):
+    """A failure captured on the writer thread, re-raised to the caller."""
+
+
+class CatalogWriter:
+    """Daemon writer thread consuming WriteItem / WriteFlush / WriteStop."""
+
+    def __init__(
+        self,
+        db_path: str | Path,
+        *,
+        queue_size: int = 1024,
+        flush_chunk: int = 1024,
+        unsafe_fast: bool = True,
+        ready_timeout: float = 30.0,
+    ) -> None:
+        self._db_path = Path(db_path)
+        self._queue: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._flush_chunk = flush_chunk
+        self._unsafe_fast = unsafe_fast
+        self._ready = threading.Event()
+        self._ready_timeout = ready_timeout
+        self._failure: BaseException | None = None
+        self._thread: threading.Thread | None = None
+        self.items_written = 0
+        self.flushes = 0
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        if self._thread is not None:
+            raise RuntimeError("writer already started")
+        self._thread = threading.Thread(target=self._run, name="catalog-writer", daemon=True)
+        self._thread.start()
+        if not self._ready.wait(self._ready_timeout):
+            raise WriterError("catalog writer failed to become ready")
+        self.raise_if_failed()
+
+    def stop(self, *, flush: bool = True, timeout: float = 120.0) -> None:
+        if self._thread is None:
+            return
+        self._queue.put(WriteStop(flush=flush))
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise WriterError("catalog writer did not stop in time")
+        self._thread = None
+        self.raise_if_failed()
+
+    def raise_if_failed(self) -> None:
+        if self._failure is not None:
+            raise WriterError("catalog writer failed") from self._failure
+
+    # -- producer API ------------------------------------------------------
+
+    def put(self, item: WriteItem, *, timeout: float | None = None) -> None:
+        self.raise_if_failed()
+        self._queue.put(item, timeout=timeout)
+
+    def flush(self) -> None:
+        self.raise_if_failed()
+        self._queue.put(WriteFlush())
+
+    # -- worker ------------------------------------------------------------
+
+    def _run(self) -> None:
+        try:
+            conn = connect(self._db_path, unsafe_fast=self._unsafe_fast, bypass_quiesce=True)
+        except BaseException as exc:  # noqa: BLE001
+            self._failure = exc
+            self._ready.set()
+            return
+        self._ready.set()
+        buffer: list[WriteItem] = []
+        try:
+            while True:
+                msg = self._queue.get()
+                if isinstance(msg, WriteItem):
+                    buffer.append(msg)
+                    if len(buffer) >= self._flush_chunk:
+                        self._flush(conn, buffer)
+                elif isinstance(msg, WriteFlush):
+                    self._flush(conn, buffer)
+                elif isinstance(msg, WriteStop):
+                    if msg.flush:
+                        self._flush(conn, buffer)
+                    break
+        except BaseException as exc:  # noqa: BLE001
+            # Failure policy: capture, surface via raise_if_failed — callers
+            # must see writer failures (reference db_writing.py:107-111).
+            self._failure = exc
+            logger.exception("catalog writer failed")
+        finally:
+            try:
+                conn.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+    def _flush(self, conn, buffer: list[WriteItem]) -> None:
+        if not buffer:
+            return
+        t0 = time.perf_counter()
+        items = [
+            TaggingItem(
+                file_id=w.file_id, tags=w.tags, width=w.width, height=w.height,
+                tagger_sig=w.tagger_sig, tagged_at=w.tagged_at,
+            )
+            for w in buffer
+        ]
+        write_tagging_batch(conn, items)
+        self.items_written += len(buffer)
+        self.flushes += 1
+        logger.debug("writer flush: %d items in %.3fs", len(buffer), time.perf_counter() - t0)
+        buffer.clear()

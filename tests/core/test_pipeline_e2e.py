@@ -1,0 +1,87 @@
+"""End-to-end index pipeline: scan -> dummy tag -> write -> epoch -> search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kobato_eyes_tpu.core.config.schema import PipelineSettings, Settings
+from kobato_eyes_tpu.core.pipeline import run_index_once
+from kobato_eyes_tpu.core.progress import IndexPhase
+from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+from kobato_eyes_tpu.models.tagger import DummyTagger
+from kobato_eyes_tpu.query.engine import EpochManager, search_epoch
+
+pytestmark = pytest.mark.integration
+
+
+@pytest.fixture
+def env(tmp_path, image_dir):
+    reset_bootstrap_cache()
+    root, paths = image_dir
+    db = tmp_path / "cat.sqlite"
+    settings = Settings(pipeline=PipelineSettings(roots=[root], batch_size=2, io_workers=2))
+    return db, settings, root, paths
+
+
+def test_full_index_run(env):
+    db, settings, root, paths = env
+    epochs = EpochManager()
+    phases: list[IndexPhase] = []
+    stats = run_index_once(
+        db, settings, DummyTagger(),
+        epoch_manager=epochs, progress=lambda p: phases.append(p.phase),
+    )
+    assert stats.scanned == len(paths)
+    assert stats.new == len(paths)
+    assert stats.tagged == len(paths)
+    assert stats.written == len(paths)
+    assert stats.epoch_version == 1
+    assert IndexPhase.DONE in phases
+
+    # search the fresh epoch: every image got the dummy "1girl" tag
+    results = search_epoch(epochs.current, "1girl")
+    assert len(results) == len(paths)
+    assert all(r.relevance == pytest.approx(0.9) for r in results)
+
+
+def test_incremental_rerun_skips(env):
+    db, settings, root, paths = env
+    stats1 = run_index_once(db, settings, DummyTagger())
+    stats2 = run_index_once(db, settings, DummyTagger())
+    assert stats1.tagged == len(paths)
+    assert stats2.tagged == 0  # same fingerprint + unchanged files -> all skipped
+    assert stats2.skipped == len(paths)
+
+
+def test_changed_file_retags(env, rng):
+    from PIL import Image
+
+    db, settings, root, paths = env
+    run_index_once(db, settings, DummyTagger())
+    # rewrite one file with different content
+    arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    Image.fromarray(arr, "RGB").save(paths[0])
+    stats = run_index_once(db, settings, DummyTagger())
+    assert stats.tagged == 1
+    assert stats.skipped == len(paths) - 1
+
+
+def test_missing_file_soft_deleted(env):
+    db, settings, root, paths = env
+    run_index_once(db, settings, DummyTagger())
+    paths[0].unlink()
+    stats = run_index_once(db, settings, DummyTagger())
+    assert stats.missing == 1
+    conn = bootstrap(db)
+    try:
+        present = conn.execute("SELECT COUNT(*) FROM files WHERE is_present=1").fetchone()[0]
+        assert present == len(paths) - 1
+    finally:
+        conn.close()
+
+
+def test_cancellation(env):
+    db, settings, root, paths = env
+    stats = run_index_once(db, settings, DummyTagger(), is_cancelled=lambda: True)
+    assert stats.tagged == 0

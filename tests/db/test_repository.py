@@ -1,0 +1,148 @@
+"""Catalog CRUD semantics: upsert/COALESCE, tagging writes, soft delete, quiesce."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from kobato_eyes_tpu.db.connection import (
+    QuiesceError,
+    bootstrap,
+    connect,
+    quiesced,
+    reset_bootstrap_cache,
+)
+from kobato_eyes_tpu.db.repository import (
+    TaggingItem,
+    autocomplete_tags,
+    clear_tagger_sig,
+    delete_files,
+    fetch_files_by_paths,
+    iter_files_for_dup,
+    list_untagged_under_path,
+    load_tag_thresholds,
+    mark_files_absent,
+    missing_signature_ids,
+    set_tag_threshold,
+    tag_stats,
+    tags_for_files,
+    upsert_file,
+    upsert_signatures,
+    write_tagging_batch,
+)
+
+
+@pytest.fixture
+def conn(tmp_path):
+    reset_bootstrap_cache()
+    c = bootstrap(tmp_path / "t.sqlite")
+    yield c
+    c.close()
+
+
+def test_upsert_file_coalesce(conn):
+    fid = upsert_file(conn, path="/a/x.png", size=10, mtime=1.0)
+    fid2 = upsert_file(conn, path="/a/x.png", sha256="abc")
+    assert fid == fid2
+    row = conn.execute("SELECT * FROM files WHERE id=?", (fid,)).fetchone()
+    assert row["size"] == 10 and row["sha256"] == "abc"  # old fields kept
+
+
+def test_write_tagging_batch_replaces(conn):
+    fid = upsert_file(conn, path="/a/y.png")
+    write_tagging_batch(conn, [TaggingItem(fid, [("a", 0.9, 0), ("b", 0.5, 4)], tagger_sig="s1")])
+    write_tagging_batch(conn, [TaggingItem(fid, [("c", 0.7, 0)], tagger_sig="s2")])
+    tags = tags_for_files(conn, [fid])[fid]
+    assert [t[0] for t in tags] == ["c"]
+    row = conn.execute("SELECT tagger_sig FROM files WHERE id=?", (fid,)).fetchone()
+    assert row["tagger_sig"] == "s2"
+
+
+def test_soft_and_hard_delete(conn):
+    fid = upsert_file(conn, path="/a/z.png")
+    write_tagging_batch(conn, [TaggingItem(fid, [("a", 0.9, 0)])])
+    upsert_signatures(conn, [(fid, 123, 456)])
+    mark_files_absent(conn, [fid])
+    assert conn.execute("SELECT is_present FROM files WHERE id=?", (fid,)).fetchone()[0] == 0
+    assert not iter_files_for_dup(conn)  # absent rows excluded
+    delete_files(conn, [fid])
+    assert conn.execute("SELECT COUNT(*) FROM files").fetchone()[0] == 0
+    assert conn.execute("SELECT COUNT(*) FROM file_tags").fetchone()[0] == 0
+    assert conn.execute("SELECT COUNT(*) FROM signatures").fetchone()[0] == 0
+
+
+def test_untagged_and_retag(conn):
+    a = upsert_file(conn, path="/r/a.png", tagger_sig="sig")
+    b = upsert_file(conn, path="/r/b.png")
+    untagged = list_untagged_under_path(conn, "/r")
+    assert [r["id"] for r in untagged] == [b]
+    clear_tagger_sig(conn, only_sig="sig")
+    assert len(list_untagged_under_path(conn, "/r")) == 2
+    assert a != b
+
+
+def test_signatures_and_missing(conn):
+    a = upsert_file(conn, path="/s/a.png")
+    b = upsert_file(conn, path="/s/b.png")
+    upsert_signatures(conn, [(a, -5, 7)])
+    conn.commit()
+    missing = missing_signature_ids(conn)
+    assert [m[0] for m in missing] == [b]
+    rows = iter_files_for_dup(conn)
+    assert rows[0]["phash_u64"] == -5  # signed-64 storage form
+
+
+def test_thresholds_roundtrip(conn):
+    assert load_tag_thresholds(conn) == {}
+    set_tag_threshold(conn, 0, 0.4)
+    set_tag_threshold(conn, 0, 0.5)
+    assert load_tag_thresholds(conn) == {0: 0.5}
+
+
+def test_fetch_by_paths_has_tags_flag(conn):
+    a = upsert_file(conn, path="/p/a.png")
+    upsert_file(conn, path="/p/b.png")
+    write_tagging_batch(conn, [TaggingItem(a, [("t", 0.9, 0)])])
+    rows = fetch_files_by_paths(conn, ["/p/a.png", "/p/b.png", "/p/missing.png"])
+    assert rows["/p/a.png"]["has_tags"] == 1
+    assert rows["/p/b.png"]["has_tags"] == 0
+    assert "/p/missing.png" not in rows
+
+
+def test_stats_and_autocomplete(conn):
+    a = upsert_file(conn, path="/q/a.png")
+    b = upsert_file(conn, path="/q/b.png")
+    write_tagging_batch(conn, [
+        TaggingItem(a, [("longhair", 0.9, 0), ("smile", 0.2, 0)]),
+        TaggingItem(b, [("longhair", 0.6, 0)]),
+    ])
+    stats = tag_stats(conn, thresholds={0: 0.5})
+    by_name = {r["name"]: r for r in stats}
+    assert by_name["longhair"]["file_count"] == 2
+    assert "smile" not in by_name  # below threshold
+    comp = autocomplete_tags(conn, "long")
+    assert comp[0][0] == "longhair" and comp[0][2] == 2
+
+
+def test_quiesce_blocks_new_connections(tmp_path):
+    reset_bootstrap_cache()
+    db = tmp_path / "q.sqlite"
+    bootstrap(db).close()
+    with quiesced():
+        # owner thread can still connect
+        connect(db).close()
+        err: list[Exception] = []
+
+        def other():
+            try:
+                connect(db)
+            except Exception as exc:  # noqa: BLE001
+                err.append(exc)
+
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+        assert err and isinstance(err[0], QuiesceError)
+    # gate released
+    connect(db).close()
