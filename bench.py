@@ -73,10 +73,11 @@ def main() -> None:
     config = DuplicateScanConfig(hamming_threshold=HAMMING_THRESHOLD)
     pair_space = n * (n - 1) / 2
 
-    # --- device engine (includes JIT warmup on a small prefix, like the
-    # reference bench excludes its warmup batch) ---
+    # --- device engine; warmup run at the SAME shapes so the timed run
+    # excludes compilation (the reference bench likewise excludes its warmup
+    # batch, tools/bench.py) ---
     scanner = TpuDuplicateScanner(config, block=4096)
-    scanner.build_clusters(files[: min(8192, n)])  # warmup/compile
+    device_clusters = scanner.build_clusters(files)  # warmup/compile
     t0 = time.perf_counter()
     device_clusters = scanner.build_clusters(files)
     device_s = time.perf_counter() - t0

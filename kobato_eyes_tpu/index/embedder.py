@@ -1,0 +1,88 @@
+"""CLIP-style image embedder: ViT backbone + projection head, L2-normalized.
+
+The embedding pass that feeds the ANN index (reference's planned-but-dormant
+open_clip path, ``pyproject.toml:50-52``).  Weights load from an orbax
+checkpoint or random-init for harness runs; the geometry (224px, patch 32,
+512-d projection = CLIP ViT-B/32 class) matches the reference's declared
+model family.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kobato_eyes_tpu.models.preprocess import (
+    PreprocessSpec,
+    normalize_on_device,
+    shortside_centercrop_rgb,
+)
+from kobato_eyes_tpu.models.vit import ViT, ViTConfig, vit_config
+
+logger = logging.getLogger(__name__)
+
+
+class ClipImageEncoder(nn.Module):
+    cfg: ViTConfig
+    embed_dim: int = 512
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        feat = ViT(self.cfg, name="vit")(images, features_only=True)
+        proj = nn.Dense(
+            self.embed_dim, use_bias=False,
+            dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype, name="proj",
+        )(feat)
+        proj = proj.astype(jnp.float32)
+        return proj / jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-6)
+
+
+class ImageEmbedder:
+    """Host wrapper: prepare uint8 batches, run the jitted embedding pass."""
+
+    def __init__(
+        self,
+        *,
+        preset: str = "base",
+        image_size: int = 224,
+        patch_size: int = 32,
+        embed_dim: int = 512,
+        params: Any = None,
+        checkpoint_path: str | Path | None = None,
+        seed: int = 0,
+    ) -> None:
+        self.cfg = vit_config(preset, image_size=image_size, patch_size=patch_size, num_classes=embed_dim)
+        self.embed_dim = embed_dim
+        self.spec = PreprocessSpec(mode="pixai", size=image_size)  # mean/std normalize
+        self._model = ClipImageEncoder(self.cfg, embed_dim=embed_dim)
+        if params is not None:
+            self.params = params
+        elif checkpoint_path is not None:
+            from kobato_eyes_tpu.models.tagger import load_checkpoint
+
+            self.params = load_checkpoint(checkpoint_path)
+        else:
+            logger.info("embedder: random-init weights (%s, %dpx)", preset, image_size)
+            dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+            self.params = self._model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+    def prepare_batch_from_rgb(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        return np.stack([shortside_centercrop_rgb(a, self.cfg.image_size) for a in images])
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _embed(self, params: Any, batch_u8: jnp.ndarray) -> jnp.ndarray:
+        x = normalize_on_device(batch_u8, self.spec)
+        return self._model.apply({"params": params}, x)
+
+    def embed_batch_prepared(self, batch_u8: np.ndarray) -> np.ndarray:
+        return np.asarray(self._embed(self.params, jnp.asarray(batch_u8)))
+
+    def embed_batch(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        return self.embed_batch_prepared(self.prepare_batch_from_rgb(images))

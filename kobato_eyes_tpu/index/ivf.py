@@ -1,0 +1,146 @@
+"""IVF-Flat index: k-means coarse quantizer + per-list exact re-rank.
+
+Pure-matmul ANN — the natural TPU structure (BASELINE.json north star lists
+IVF-flat with TPU distance matmuls).  Build: Lloyd iterations entirely on
+device (assignment matmul + segment-sum centroid update).  Search: one
+(Q, K) centroid matmul -> top-nprobe lists -> gather padded list members ->
+(Q, nprobe*pad) exact similarity -> top-k.  All static shapes.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("n_clusters",))
+def _lloyd_step(data: jnp.ndarray, centroids: jnp.ndarray, *, n_clusters: int):
+    sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
+    assign = jnp.argmax(sims, axis=1)
+    sums = jax.ops.segment_sum(data, assign, num_segments=n_clusters)
+    counts = jax.ops.segment_sum(jnp.ones(data.shape[0], jnp.float32), assign, num_segments=n_clusters)
+    new = sums / jnp.maximum(counts, 1.0)[:, None]
+    # empty clusters keep their previous centroid
+    new = jnp.where(counts[:, None] > 0, new, centroids)
+    norms = jnp.linalg.norm(new, axis=1, keepdims=True)
+    return new / jnp.maximum(norms, 1e-30), assign
+
+
+def kmeans(
+    data: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Spherical k-means on device. Returns (centroids, assignments)."""
+    vecs = np.asarray(data, dtype=np.float32)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs / np.maximum(norms, 1e-30)
+    rng = np.random.default_rng(seed)
+    init = vecs[rng.choice(len(vecs), size=n_clusters, replace=False)]
+    data_dev = jnp.asarray(vecs)
+    cent = jnp.asarray(init)
+    assign = None
+    for _ in range(iters):
+        cent, assign = _lloyd_step(data_dev, cent, n_clusters=n_clusters)
+    return np.asarray(cent), np.asarray(assign)
+
+
+@partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_search_kernel(
+    queries: jnp.ndarray,  # (Q, D) unit vectors
+    centroids: jnp.ndarray,  # (K, D)
+    members: jnp.ndarray,  # (K, pad) int32 vector rows, -1 padded
+    corpus: jnp.ndarray,  # (N, D)
+    *,
+    nprobe: int,
+    k: int,
+):
+    cs = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cs, nprobe)  # (Q, nprobe)
+    cand = members[probe].reshape(queries.shape[0], -1)  # (Q, nprobe*pad)
+    valid = cand >= 0
+    cand_c = jnp.maximum(cand, 0)
+    vecs = corpus[cand_c]  # (Q, C, D)
+    sims = jnp.einsum("qd,qcd->qc", queries, vecs, preferred_element_type=jnp.float32)
+    sims = jnp.where(valid, sims, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(sims, k)
+    rows = jnp.take_along_axis(cand, top_i, axis=1)
+    return top_s, rows
+
+
+class IvfFlatIndex:
+    """Inverted-file flat index over unit vectors (cosine / inner product)."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        ids: np.ndarray | None = None,
+        *,
+        n_clusters: int | None = None,
+        train_iters: int = 10,
+        seed: int = 0,
+        max_list_pad: int | None = None,
+    ) -> None:
+        vecs = np.asarray(vectors, dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs / np.maximum(norms, 1e-30)
+        n = len(vecs)
+        self.ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(ids, np.int64)
+        if n_clusters is None:
+            n_clusters = max(1, int(np.sqrt(n)))
+        n_clusters = min(n_clusters, n)
+        self.n_clusters = n_clusters
+
+        centroids, assign = kmeans(vecs, n_clusters, iters=train_iters, seed=seed)
+        counts = np.bincount(assign, minlength=n_clusters)
+        pad = int(counts.max()) if max_list_pad is None else min(int(counts.max()), max_list_pad)
+        members = np.full((n_clusters, pad), -1, dtype=np.int32)
+        cursor = np.zeros(n_clusters, dtype=np.int64)
+        for row, c in enumerate(assign):
+            if cursor[c] < pad:
+                members[c, cursor[c]] = row
+                cursor[c] += 1
+        dropped = n - int(cursor.sum())
+        if dropped:
+            logger.warning("ivf: %d vectors dropped by max_list_pad=%d", dropped, pad)
+
+        self._centroids = jnp.asarray(centroids)
+        self._members = jnp.asarray(members)
+        self._corpus = jnp.asarray(vecs)
+        self.dim = vecs.shape[1]
+
+    def __len__(self) -> int:
+        return int(self._corpus.shape[0])
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, *, nprobe: int = 8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(queries, dtype=np.float32)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        nprobe = min(nprobe, self.n_clusters)
+        k = min(k, len(self))
+        scores, rows = _ivf_search_kernel(
+            jnp.asarray(q), self._centroids, self._members, self._corpus,
+            nprobe=nprobe, k=k,
+        )
+        rows = np.asarray(rows)
+        scores = np.asarray(scores)
+        ids = np.where(rows >= 0, self.ids[np.maximum(rows, 0)], -1)
+        return scores, ids
+
+
+def recall_at_k(
+    approx_ids: np.ndarray, exact_ids: np.ndarray, k: int = 10
+) -> float:
+    """Mean overlap@k between an ANN result and the exact result."""
+    hits = 0
+    total = 0
+    for a, e in zip(approx_ids, exact_ids):
+        truth = set(int(x) for x in e[:k])
+        hits += len(truth & set(int(x) for x in a[:k]))
+        total += len(truth)
+    return hits / max(total, 1)

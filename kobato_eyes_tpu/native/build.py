@@ -1,0 +1,48 @@
+"""Compile-on-first-use loader for the C++ runtime pieces.
+
+Builds ``<name>.cpp`` next to this file into ``_<name>.so`` with g++ -O3 when
+the shared object is missing or older than its source, then loads it with
+ctypes.  Keeps the repo toolchain-light (no pybind11 dependency) while the
+hot host paths stay native.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = Path(__file__).parent
+_LOCK = threading.Lock()
+_CACHE: dict[str, ctypes.CDLL] = {}
+
+
+class NativeBuildError(RuntimeError):
+    """g++ compilation of a native component failed."""
+
+
+def load_native_library(name: str) -> ctypes.CDLL:
+    """Load (building if needed) the shared object for ``name``."""
+    with _LOCK:
+        if name in _CACHE:
+            return _CACHE[name]
+        src = _NATIVE_DIR / f"{name}.cpp"
+        so = _NATIVE_DIR / f"_{name}.so"
+        if not src.exists():
+            raise FileNotFoundError(src)
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+                str(src), "-o", str(so),
+            ]
+            logger.info("building native component: %s", " ".join(cmd))
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                raise NativeBuildError(f"g++ failed for {name}:\n{proc.stderr}")
+        lib = ctypes.CDLL(str(so))
+        _CACHE[name] = lib
+        return lib
