@@ -1,0 +1,443 @@
+"""Command-line interface — the headless surface of the engine.
+
+Replaces the reference's PyQt6 desktop UI (``src/ui/``) feature-for-feature
+in CLI form: index runs, refresh, retag, tag search with relevance ordering,
+duplicate scan + refinement, tag statistics, autocomplete, threshold
+management, CSV export, and an ANN build/search path.
+
+Usage: ``python -m kobato_eyes_tpu.cli <command> ...`` or the ``ket``
+console script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+from kobato_eyes_tpu.core.config.schema import Settings
+from kobato_eyes_tpu.core.config.service import load_settings, save_settings
+from kobato_eyes_tpu.utils.paths import get_app_paths
+
+logger = logging.getLogger(__name__)
+
+
+def _setup_logging(verbose: bool) -> None:
+    logging.basicConfig(
+        level=logging.DEBUG if verbose else logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+
+
+def _resolve_tagger(settings: Settings):
+    """name -> tagger instance (reference core/pipeline/resolver.py:40)."""
+    from kobato_eyes_tpu.models.tagger import DummyTagger, PixaiTagger, WD14Tagger
+
+    t = settings.tagger
+    name = t.name.lower()
+    if name == "dummy":
+        return DummyTagger()
+    cls = {"wd14": WD14Tagger, "pixai": PixaiTagger}.get(name)
+    if cls is None:
+        raise SystemExit(f"unknown tagger {t.name!r} (dummy | wd14 | pixai)")
+    return cls(
+        labels_path=t.labels_path,
+        checkpoint_path=t.model_path,
+        thresholds=t.thresholds,
+        max_tags=t.max_tags,
+        score_floor=t.score_floor,
+        topk_cap=t.topk_cap,
+    )
+
+
+def _load_env(args) -> tuple[Settings, Path]:
+    settings = load_settings(args.config)
+    paths = get_app_paths(args.data_dir or settings.data_dir).ensure()
+    return settings, paths.db_path
+
+
+def _progress_printer(progress) -> None:
+    pct = f"{progress.fraction * 100:5.1f}%" if progress.total else "     "
+    print(f"\r[{progress.phase.value:>6}] {pct} {progress.done}/{progress.total}",
+          end="", file=sys.stderr, flush=True)
+
+
+# -- commands ----------------------------------------------------------------
+
+
+def cmd_index(args) -> int:
+    settings, db = _load_env(args)
+    if args.root:
+        settings.pipeline.roots = [Path(r) for r in args.root]
+    if not settings.pipeline.roots:
+        raise SystemExit("no roots configured; pass --root or set pipeline.roots")
+    from kobato_eyes_tpu.core.pipeline import run_index_once
+
+    tagger = _resolve_tagger(settings)
+    stats = run_index_once(db, settings, tagger, progress=_progress_printer)
+    print(file=sys.stderr)
+    print(json.dumps(stats.__dict__, default=str))
+    return 0
+
+
+def cmd_refresh(args) -> int:
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.core.pipeline.maintenance import refresh_root
+
+    stats = refresh_root(
+        db, settings, _resolve_tagger(settings), args.root,
+        hard_delete=args.hard_delete, progress=_progress_printer,
+    )
+    print(file=sys.stderr)
+    print(json.dumps(stats.__dict__, default=str))
+    return 0
+
+
+def cmd_retag(args) -> int:
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.core.pipeline.fingerprint import current_tagger_sig
+    from kobato_eyes_tpu.core.pipeline.maintenance import retag_all, retag_selection
+
+    if args.ids:
+        stats = retag_selection(db, settings, _resolve_tagger(settings), args.ids)
+        print(json.dumps(stats.__dict__, default=str))
+        return 0
+    sig = current_tagger_sig(_resolve_tagger(settings).signature_fields())
+    cleared = retag_all(db, current_sig=sig, force=args.force)
+    print(json.dumps({"cleared": cleared}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import load_tag_thresholds, search_files, tags_for_files
+    from kobato_eyes_tpu.query.ast import extract_positive_tag_terms
+    from kobato_eyes_tpu.query.engine import build_epoch, search_epoch
+    from kobato_eyes_tpu.query.sql import normalize_thresholds, translate_query
+
+    conn = bootstrap(db)
+    try:
+        thresholds = load_tag_thresholds(conn)
+        t0 = time.perf_counter()
+        if args.backend == "device":
+            epoch = build_epoch(conn)
+            rows = search_epoch(
+                epoch, args.query, thresholds=thresholds,
+                order_by=args.order, limit=args.limit, offset=args.offset,
+            )
+            results = [
+                {"file_id": r.file_id, "path": r.path, "relevance": r.relevance}
+                for r in rows
+            ]
+        else:
+            frag = translate_query(args.query, thresholds=thresholds)
+            rows = search_files(
+                conn, frag.where, frag.params,
+                positive_tags=extract_positive_tag_terms(args.query),
+                thresholds=normalize_thresholds(thresholds),
+                order_by=args.order, limit=args.limit, offset=args.offset,
+            )
+            results = [
+                {"file_id": r.file_id, "path": r.path, "relevance": r.relevance,
+                 "tags": r.tags[:10]}
+                for r in rows
+            ]
+        elapsed = time.perf_counter() - t0
+        if args.export:
+            out = _export_csv(args.export, results)
+            print(f"exported {len(results)} rows to {out}", file=sys.stderr)
+        for r in results:
+            print(f"{r['relevance']:8.3f}  {r['path']}")
+        ids = [r["file_id"] for r in results]
+        if args.show_tags and args.backend == "device" and ids:
+            for fid, tags in tags_for_files(conn, ids[: args.limit]).items():
+                print(f"# {fid}: {', '.join(f'{n}:{s:.2f}' for n, s, _ in tags[:8])}")
+        print(f"{len(results)} results in {elapsed * 1000:.1f} ms", file=sys.stderr)
+    finally:
+        conn.close()
+    return 0
+
+
+def _export_csv(dest: str, rows: list[dict]) -> Path:
+    """Timestamped CSV export (reference utils/search_export.py semantics)."""
+    base = Path(dest)
+    if base.suffix != ".csv":
+        base = base / f"search_{time.strftime('%Y%m%d_%H%M%S')}.csv"
+    base.parent.mkdir(parents=True, exist_ok=True)
+    with base.open("w", newline="", encoding="utf-8") as fh:
+        writer = csv.writer(fh)
+        keys = [k for k in rows[0] if k != "tags"] if rows else ["file_id", "path", "relevance"]
+        writer.writerow(keys)
+        for r in rows:
+            writer.writerow([r.get(k) for k in keys])
+    return base
+
+
+def cmd_dup(args) -> int:
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import iter_files_for_dup, missing_signature_ids, upsert_signatures
+    from kobato_eyes_tpu.dup.engine import TpuDuplicateScanner
+    from kobato_eyes_tpu.dup.types import DuplicateFileMeta, DuplicateScanConfig
+    from kobato_eyes_tpu.sig.signatures import compute_signatures
+
+    conn = bootstrap(db)
+    try:
+        missing = missing_signature_ids(conn)
+        if missing:
+            print(f"computing {len(missing)} missing signatures...", file=sys.stderr)
+            batch = compute_signatures(missing, io_workers=settings.pipeline.io_workers)
+            with conn:
+                upsert_signatures(conn, zip(batch.file_ids, batch.phash, batch.dhash))
+        rows = iter_files_for_dup(conn)
+    finally:
+        conn.close()
+
+    metas = [
+        DuplicateFileMeta(
+            file_id=int(r["id"]), path=Path(r["path"]), size=r["size"],
+            width=r["width"], height=r["height"], phash=r["phash_u64"],
+        )
+        for r in rows
+        if r["phash_u64"] is not None
+    ]
+    cfg = DuplicateScanConfig(
+        hamming_threshold=args.hamming if args.hamming is not None else settings.dup.hamming_threshold,
+        band_bits=settings.dup.band_bits, band_count=settings.dup.band_count,
+        size_ratio=args.size_ratio if args.size_ratio is not None else settings.dup.size_ratio,
+        bucket_pair_cap=settings.dup.bucket_pair_cap,
+    )
+    clusters = TpuDuplicateScanner(cfg).build_clusters(metas)
+
+    if args.refine:
+        from kobato_eyes_tpu.dup.refine_clusters import refine_by_pixels, refine_by_tilehash
+
+        r = settings.refine
+        clusters = refine_by_tilehash(
+            clusters, grid=r.grid, tile=r.tile, max_bits=r.max_bits,
+            io_workers=settings.pipeline.io_workers,
+        )
+        clusters = refine_by_pixels(
+            clusters, mae_thr=r.mae_threshold, thumb_size=r.mae_size,
+            io_workers=settings.pipeline.io_workers,
+        )
+
+    out_rows = []
+    for ci, cluster in enumerate(clusters):
+        for entry in cluster.files:
+            out_rows.append({
+                "cluster": ci, "file_id": entry.file.file_id,
+                "keeper": int(entry.file.file_id == cluster.keeper_id),
+                "hamming": entry.best_hamming, "path": str(entry.file.path),
+            })
+    if args.export:
+        out = _export_csv(args.export, out_rows)
+        print(f"exported {len(out_rows)} rows to {out}", file=sys.stderr)
+    else:
+        for row in out_rows:
+            marker = "*" if row["keeper"] else " "
+            print(f"{row['cluster']:5d} {marker} h={row['hamming']}  {row['path']}")
+    print(f"{len(clusters)} clusters", file=sys.stderr)
+    return 0
+
+
+def cmd_stats(args) -> int:
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import load_tag_thresholds, tag_stats
+
+    conn = bootstrap(db)
+    try:
+        rows = tag_stats(
+            conn, category=args.category, name_like=args.filter,
+            thresholds=load_tag_thresholds(conn), limit=args.limit,
+        )
+        for r in rows:
+            print(f"{r['file_count']:8d}  {r['avg_score']:.3f}  {r['max_score']:.3f}  "
+                  f"[{r['category']}] {r['name']}")
+    finally:
+        conn.close()
+    return 0
+
+
+def cmd_complete(args) -> int:
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import autocomplete_tags
+
+    conn = bootstrap(db)
+    try:
+        for name, cat, n in autocomplete_tags(conn, args.prefix, limit=args.limit):
+            print(f"{name}\t{cat}\t{n}")
+    finally:
+        conn.close()
+    return 0
+
+
+def cmd_thresholds(args) -> int:
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import load_tag_thresholds, set_tag_threshold
+
+    conn = bootstrap(db)
+    try:
+        if args.set:
+            for pair in args.set:
+                cat, _, value = pair.partition("=")
+                set_tag_threshold(conn, int(cat), float(value))
+        print(json.dumps(load_tag_thresholds(conn)))
+    finally:
+        conn.close()
+    return 0
+
+
+def cmd_config(args) -> int:
+    settings = load_settings(args.config)
+    if args.init:
+        dest = Path(args.config or "settings.yaml")
+        save_settings(settings, dest)
+        print(f"wrote {dest}")
+        return 0
+    print(json.dumps(settings.model_dump(mode="json"), indent=2, default=str))
+    return 0
+
+
+def cmd_ann(args) -> int:
+    settings, db = _load_env(args)
+    import numpy as np
+
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.index.embedder import ImageEmbedder
+    from kobato_eyes_tpu.index.hnsw import HnswIndex
+    from kobato_eyes_tpu.utils.image_io import load_rgb_array
+    from kobato_eyes_tpu.utils.paths import get_app_paths
+
+    paths = get_app_paths(args.data_dir or settings.data_dir).ensure()
+    graph_path = paths.index_dir / "clip.hnsw"
+    embedder = ImageEmbedder()
+
+    if args.build:
+        conn = bootstrap(db)
+        try:
+            rows = conn.execute(
+                "SELECT id, path FROM files WHERE is_present = 1 ORDER BY id"
+            ).fetchall()
+        finally:
+            conn.close()
+        index = HnswIndex(dim=embedder.embed_dim)
+        batch: list = []
+        ids: list[int] = []
+        for r in rows:
+            arr = load_rgb_array(r["path"])
+            if arr is None:
+                continue
+            batch.append(arr)
+            ids.append(int(r["id"]))
+            if len(batch) >= settings.pipeline.batch_size:
+                index.add(embedder.embed_batch(batch), np.array(ids[-len(batch):]))
+                batch.clear()
+        if batch:
+            index.add(embedder.embed_batch(batch), np.array(ids[-len(batch):]))
+        index.save(graph_path)
+        print(f"built ANN index over {len(index)} images -> {graph_path}")
+        return 0
+
+    if args.query_image:
+        arr = load_rgb_array(args.query_image)
+        if arr is None:
+            raise SystemExit(f"cannot decode {args.query_image}")
+        index = HnswIndex.load(graph_path, dim=embedder.embed_dim)
+        vec = embedder.embed_batch([arr])
+        scores, ids = index.search(vec, k=args.limit)
+        conn = bootstrap(db)
+        try:
+            for score, fid in zip(scores[0], ids[0]):
+                if fid < 0:
+                    continue
+                row = conn.execute("SELECT path FROM files WHERE id=?", (int(fid),)).fetchone()
+                print(f"{score:7.4f}  {row['path'] if row else fid}")
+        finally:
+            conn.close()
+        return 0
+    raise SystemExit("ann: pass --build or --query-image")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="ket", description=__doc__)
+    parser.add_argument("--config", help="settings.yaml path")
+    parser.add_argument("--data-dir", help="data directory override")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("index", help="scan + tag + write + epoch swap")
+    p.add_argument("--root", action="append", help="scan root (repeatable)")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("refresh", help="incremental refresh of one root")
+    p.add_argument("root")
+    p.add_argument("--hard-delete", action="store_true")
+    p.set_defaults(fn=cmd_refresh)
+
+    p = sub.add_parser("retag", help="invalidate or re-run tagging")
+    p.add_argument("--force", action="store_true", help="clear every row")
+    p.add_argument("--ids", type=int, nargs="+", help="re-tag specific file ids now")
+    p.set_defaults(fn=cmd_retag)
+
+    p = sub.add_parser("search", help="tag query search")
+    p.add_argument("query")
+    p.add_argument("--backend", choices=["device", "sql"], default="device")
+    p.add_argument("--order", choices=["relevance", "mtime", "path", "id"], default="relevance")
+    p.add_argument("--limit", type=int, default=200)
+    p.add_argument("--offset", type=int, default=0)
+    p.add_argument("--export", help="CSV file or directory")
+    p.add_argument("--show-tags", action="store_true")
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("dup", help="duplicate scan (+ refinement)")
+    p.add_argument("--hamming", type=int)
+    p.add_argument("--size-ratio", type=float)
+    p.add_argument("--refine", action="store_true")
+    p.add_argument("--export", help="CSV file or directory")
+    p.set_defaults(fn=cmd_dup)
+
+    p = sub.add_parser("stats", help="per-tag statistics")
+    p.add_argument("--category", type=int)
+    p.add_argument("--filter", help="name substring")
+    p.add_argument("--limit", type=int, default=100)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("complete", help="tag autocomplete")
+    p.add_argument("prefix")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_complete)
+
+    p = sub.add_parser("thresholds", help="get/set per-category search thresholds")
+    p.add_argument("--set", action="append", metavar="CAT=VALUE")
+    p.set_defaults(fn=cmd_thresholds)
+
+    p = sub.add_parser("config", help="show or init settings")
+    p.add_argument("--init", action="store_true")
+    p.set_defaults(fn=cmd_config)
+
+    p = sub.add_parser("ann", help="build / query the CLIP ANN index")
+    p.add_argument("--build", action="store_true")
+    p.add_argument("--query-image")
+    p.add_argument("--limit", type=int, default=10)
+    p.set_defaults(fn=cmd_ann)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    _setup_logging(args.verbose)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""CLI smoke tests driving the full command surface with the dummy tagger."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from kobato_eyes_tpu.cli import main
+from kobato_eyes_tpu.db.connection import reset_bootstrap_cache
+
+pytestmark = pytest.mark.integration
+
+
+@pytest.fixture
+def env(tmp_path, image_dir, monkeypatch):
+    reset_bootstrap_cache()
+    root, paths = image_dir
+    data_dir = tmp_path / "data"
+    cfg = tmp_path / "settings.yaml"
+    cfg.write_text(
+        "pipeline:\n"
+        f"  roots: [{root}]\n"
+        "  batch_size: 2\n"
+        "  io_workers: 2\n"
+        "tagger:\n"
+        "  name: dummy\n"
+    )
+    return ["--config", str(cfg), "--data-dir", str(data_dir)], root, paths
+
+
+def test_index_search_stats_complete(env, capsys):
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    out = capsys.readouterr().out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["tagged"] == len(paths)
+
+    assert main([*base, "search", "1girl", "--backend", "device"]) == 0
+    assert len([l for l in capsys.readouterr().out.splitlines() if l.strip()]) == len(paths)
+
+    assert main([*base, "search", "1girl", "--backend", "sql", "--limit", "2"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) == 2
+
+    assert main([*base, "stats"]) == 0
+    assert "1girl" in capsys.readouterr().out
+
+    assert main([*base, "complete", "1g"]) == 0
+    assert capsys.readouterr().out.startswith("1girl")
+
+
+def test_thresholds_roundtrip(env, capsys):
+    base, _, _ = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    assert main([*base, "thresholds", "--set", "0=0.5"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"0": 0.5}
+
+
+def test_dup_and_export(env, capsys, tmp_path):
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    assert main([*base, "dup", "--hamming", "10"]) == 0
+    # random images: clusters may or may not exist; command must succeed
+    out_csv = tmp_path / "dups.csv"
+    assert main([*base, "dup", "--hamming", "10", "--export", str(out_csv)]) == 0
+
+
+def test_retag_flow(env, capsys):
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    assert main([*base, "retag"]) == 0
+    cleared = json.loads(capsys.readouterr().out)["cleared"]
+    assert cleared == len(paths)
+
+
+def test_config_show(env, capsys):
+    base, _, _ = env
+    assert main([*base, "config"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["tagger"]["name"] == "dummy"
