@@ -20,7 +20,7 @@ from kobato_eyes_tpu.dup.types import (
     DuplicateScanConfig,
     assemble_clusters,
 )
-from kobato_eyes_tpu.ops.hamming import band_keys_np, bucket_ok_np, edge_scan_banded
+from kobato_eyes_tpu.ops.hamming import BandedHammingScanner
 from kobato_eyes_tpu.utils.bits import U64_MASK
 
 logger = logging.getLogger(__name__)
@@ -32,6 +32,9 @@ class TpuDuplicateScanner:
     def __init__(self, config: DuplicateScanConfig | None = None, *, block: int = 2048) -> None:
         self._config = config or DuplicateScanConfig()
         self._block = block
+        self._scanner = BandedHammingScanner(
+            band_bits=self._config.band_bits, band_count=self._config.band_count
+        )
 
     @property
     def config(self) -> DuplicateScanConfig:
@@ -62,9 +65,6 @@ class TpuDuplicateScanner:
         ph = np.array([int(f.phash) & U64_MASK for f in unique], dtype=np.uint64)
         sizes = np.array([float(f.size or 0) for f in unique], dtype=np.float64)
 
-        keys = band_keys_np(ph, cfg.band_bits, cfg.band_count)
-        ok = bucket_ok_np(keys, cfg.bucket_pair_cap)
-
         embeddings = None
         if cfg.cosine_threshold is not None and all(
             f.embedding is not None and len(f.embedding) > 0 for f in unique
@@ -73,15 +73,12 @@ class TpuDuplicateScanner:
             if len(dims) == 1:
                 embeddings = np.array([f.embedding for f in unique], dtype=np.float32)
 
-        ph_pairs = np.stack(
-            [(ph >> np.uint64(32)).astype(np.uint32), (ph & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
-            axis=-1,
-        )
-        ei, ej, dists = edge_scan_banded(
-            ph_pairs, keys, ok,
+        ei, ej, dists = self._scanner.scan(
+            ph,
             hamming_threshold=cfg.hamming_threshold,
             sizes=sizes,
             size_ratio=cfg.size_ratio,
+            bucket_pair_cap=cfg.bucket_pair_cap,
         )
         if embeddings is not None and cfg.cosine_threshold is not None and len(ei):
             # Cosine verification post-filters the (tiny) edge list — same
@@ -101,11 +98,9 @@ class TpuDuplicateScanner:
             n_pairs_scanned, len(ei), time.perf_counter() - t0,
         )
 
-        files_by_id = {f.file_id: f for f in unique}
-        edges = [
-            (int(ids[a]), int(ids[b]), int(d)) for a, b, d in zip(ei, ej, dists)
-        ]
-        clusters = assemble_clusters(files_by_id, edges)
+        files_by_id = dict(zip(ids.tolist(), unique))
+        # array fast path into the vectorized assembly (no per-edge tuples)
+        clusters = assemble_clusters(files_by_id, (ids[ei], ids[ej], dists))
         logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
         return clusters
 

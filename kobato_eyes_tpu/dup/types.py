@@ -122,7 +122,120 @@ def assemble_clusters(
     files_by_id: dict[int, DuplicateFileMeta],
     edges: Sequence[tuple[int, int, int | None]],
 ) -> list[DuplicateCluster]:
-    """Edges (file_id_a, file_id_b, hamming) -> ordered clusters.
+    """Edges (file_id_a, file_id_b, hamming) -> ordered clusters (vectorized).
+
+    Same result as :func:`assemble_clusters_py` (the executable spec, tested
+    for equality) but with connected components, keeper choice, and ordering
+    done as numpy/scipy array passes — at 70k images the per-edge Python DSU
+    was the scan's dominant cost.
+    """
+    import numpy as np
+
+    if isinstance(edges, tuple) and len(edges) == 3:
+        # array fast path: (ids_a, ids_b, hamming) with -1 encoding "no dist"
+        ea = np.asarray(edges[0], dtype=np.int64)
+        eb = np.asarray(edges[1], dtype=np.int64)
+        eh = np.asarray(edges[2], dtype=np.int64)
+        m = len(ea)
+    else:
+        m = len(edges)
+        ea = np.fromiter((e[0] for e in edges), dtype=np.int64, count=m)
+        eb = np.fromiter((e[1] for e in edges), dtype=np.int64, count=m)
+        eh = np.fromiter((-1 if e[2] is None else e[2] for e in edges), dtype=np.int64, count=m)
+    if m == 0:
+        return []
+
+    nodes, inverse = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    ia, ib = inverse[:m], inverse[m:]
+    k = len(nodes)
+
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    graph = coo_matrix((np.ones(m, dtype=np.int8), (ia, ib)), shape=(k, k))
+    _, labels = connected_components(graph, directed=False)
+
+    big = np.iinfo(np.int64).max
+    best_h = np.full(k, big, dtype=np.int64)
+    has_h = eh >= 0
+    np.minimum.at(best_h, ia[has_h], eh[has_h])
+    np.minimum.at(best_h, ib[has_h], eh[has_h])
+
+    metas = [files_by_id.get(int(fid)) for fid in nodes]
+    present = np.array([mt is not None for mt in metas])
+    if not present.all():
+        idx = np.nonzero(present)[0]
+        nodes, labels, best_h = nodes[idx], labels[idx], best_h[idx]
+        metas = [metas[i] for i in idx]
+        k = len(nodes)
+    if k == 0:
+        return []
+
+    sizes = np.fromiter(((mt.size or 0) for mt in metas), dtype=np.int64, count=k)
+    res = np.fromiter((mt.resolution for mt in metas), dtype=np.int64, count=k)
+    extpri = np.fromiter((mt.extension_priority for mt in metas), dtype=np.int64, count=k)
+    suffix = np.array([mt.path.suffix.lower() for mt in metas])
+    namelow = np.array([mt.path.name.lower() for mt in metas])
+    pathlow = np.array([mt.path.as_posix().lower() for mt in metas])
+
+    # drop singleton components (reference: clusters need >= 2 members)
+    counts = np.bincount(labels, minlength=labels.max() + 1)
+    keep = counts[labels] >= 2
+    if not keep.all():
+        idx = np.nonzero(keep)[0]
+        nodes, labels, best_h = nodes[idx], labels[idx], best_h[idx]
+        metas = [metas[i] for i in idx]
+        sizes, res, extpri = sizes[idx], res[idx], extpri[idx]
+        suffix, namelow, pathlow = suffix[idx], namelow[idx], pathlow[idx]
+        k = len(nodes)
+    if k == 0:
+        return []
+
+    # keeper per cluster: global lexsort by keeper_key within label
+    # (keys listed last-to-first for np.lexsort)
+    keeper_order = np.lexsort((nodes, namelow, suffix, -extpri, -res, -sizes, labels))
+    first_of_label = np.ones(k, dtype=bool)
+    sorted_labels = labels[keeper_order]
+    first_of_label[1:] = sorted_labels[1:] != sorted_labels[:-1]
+    keeper_rows = keeper_order[first_of_label]
+    keeper_by_label: dict[int, int] = {
+        int(labels[r]): int(nodes[r]) for r in keeper_rows
+    }
+    is_keeper = np.array(
+        [int(nodes[i]) == keeper_by_label[int(labels[i])] for i in range(k)], dtype=np.int64
+    )
+
+    # member ordering within clusters (entry_sort_key)
+    entry_order = np.lexsort((nodes, namelow, -extpri, -res, -sizes, 1 - is_keeper, labels))
+    ordered_labels = labels[entry_order]
+    boundaries = np.nonzero(np.diff(ordered_labels))[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [k]])
+
+    clusters: list[DuplicateCluster] = []
+    cluster_keys: list[tuple] = []
+    for s, e in zip(starts, ends):
+        rows = entry_order[s:e]
+        entries = [
+            DuplicateClusterEntry(
+                file=metas[r],
+                best_hamming=None if best_h[r] == big else int(best_h[r]),
+            )
+            for r in rows
+        ]
+        cluster = DuplicateCluster(files=entries, keeper_id=int(nodes[rows[0]]))
+        clusters.append(cluster)
+        cluster_keys.append((-int(sizes[rows].max()), str(pathlow[rows[0]])))
+
+    order = sorted(range(len(clusters)), key=lambda i: cluster_keys[i])
+    return [clusters[i] for i in order]
+
+
+def assemble_clusters_py(
+    files_by_id: dict[int, DuplicateFileMeta],
+    edges: Sequence[tuple[int, int, int | None]],
+) -> list[DuplicateCluster]:
+    """Reference-shaped assembly (executable spec for the vectorized version).
 
     Implements the reference's DSU + assembly semantics exactly
     (scanner.py:304-356): union all edges, track per-file best (minimum)

@@ -72,6 +72,7 @@ class JaxTagger:
         thresholds: ThresholdMap | None = None,
         max_tags: MaxTagsMap | None = None,
         seed: int = 0,
+        mesh: Any = None,
     ) -> None:
         if labels is None and labels_path is not None:
             labels = load_labels(labels_path)
@@ -113,6 +114,18 @@ class JaxTagger:
             )
             self.params = init_params(self.cfg, seed=seed)
 
+        # Multi-chip: partition params over the mesh (tensor-parallel rules
+        # from parallel/mesh.py, replicated elsewhere); batches get sharded
+        # on the data axis per forward call. GSPMD inserts the collectives.
+        self._mesh = mesh
+        if mesh is not None:
+            from kobato_eyes_tpu.parallel.mesh import place_params, shard_batch
+
+            self.params = place_params(self.params, mesh)
+            self._batch_sharding = shard_batch(mesh)
+        else:
+            self._batch_sharding = None
+
     # -- identity ---------------------------------------------------------
 
     @property
@@ -150,7 +163,15 @@ class JaxTagger:
         return probs_from_logits(logits)
 
     def forward_probs(self, batch_u8: np.ndarray) -> jnp.ndarray:
-        return self._forward_probs(self.params, jnp.asarray(batch_u8))
+        batch = jnp.asarray(batch_u8)
+        if self._batch_sharding is not None:
+            pad = -batch.shape[0] % self._mesh.shape["data"]
+            if pad:
+                batch = jnp.concatenate([batch, jnp.zeros((pad, *batch.shape[1:]), batch.dtype)])
+            batch = jax.device_put(batch, self._batch_sharding)
+            probs = self._forward_probs(self.params, batch)
+            return probs[: batch.shape[0] - pad] if pad else probs
+        return self._forward_probs(self.params, batch)
 
     # -- full inference ---------------------------------------------------
 

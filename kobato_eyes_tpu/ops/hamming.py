@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kobato_eyes_tpu.utils.bits import popcount64_np, u32pair_to_u64
+from kobato_eyes_tpu.utils.bits import popcount64_np, u32pair_to_u64, u64_to_u32pair
 
 
 @partial(jax.jit, static_argnames=("block", "max_edges", "use_size", "use_cosine"))
@@ -402,6 +402,211 @@ def edge_scan_banded(
     key = ei * np.int64(n) + ej
     _, first = np.unique(key, return_index=True)
     return ei[first], ej[first], ed[first]
+
+
+# ---------------------------------------------------------------------------
+# resident scanner (steady-state service path)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window", "max_edges", "use_size", "band_bits", "band_count"),
+)
+def _scan_resident_kernel(
+    ph: jnp.ndarray,  # (N, 2) uint32 [hi, lo] — device-resident
+    sizes: jnp.ndarray,  # (N,) float32
+    ok: jnp.ndarray,  # (N, B) bool bucket-cap mask
+    hamming_threshold: jnp.ndarray,
+    size_ratio: jnp.ndarray,
+    *,
+    window: int,
+    max_edges: int,
+    use_size: bool,
+    band_bits: int,
+    band_count: int,
+):
+    """Whole scan in ONE dispatch over resident hashes: band-key extraction,
+    per-band stable sort, windowed compare, edge extraction — returns GLOBAL
+    indices so the host does no permutation mapping."""
+    n = ph.shape[0]
+    hi = ph[:, 0]
+    lo = ph[:, 1]
+    key_mask = jnp.uint32((1 << band_bits) - 1)
+    keys = []
+    for b in range(band_count):
+        s = b * band_bits
+        if s >= 32:
+            k = hi >> jnp.uint32(s - 32)
+        elif s == 0:
+            k = lo
+        else:
+            k = (lo >> jnp.uint32(s)) | (hi << jnp.uint32(32 - s))
+        keys.append(k & key_mask)
+    sk_all = jnp.stack(keys)  # (B, N)
+    order = jnp.argsort(sk_all, axis=1, stable=True).astype(jnp.int32)
+
+    sk = jnp.take_along_axis(sk_all, order, axis=1)
+    shi = hi[order]
+    slo = lo[order]
+    sok = jnp.take_along_axis(ok.T, order, axis=1)
+    ssz = sizes[order]
+
+    nb = band_count
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, window, n), 2)
+    dd = jax.lax.broadcasted_iota(jnp.int32, (nb, window, n), 1) + 1
+    jj = col + dd
+    valid = jj < n
+    jjc = jnp.minimum(jj, n - 1)
+    gather = lambda arr: jnp.take_along_axis(arr[:, None, :], jjc, axis=2)  # noqa: E731
+
+    eq = (sk[:, None, :] == gather(sk)) & valid
+    eq &= sok[:, None, :] & gather(sok)
+    dist = (
+        jax.lax.population_count(shi[:, None, :] ^ gather(shi))
+        + jax.lax.population_count(slo[:, None, :] ^ gather(slo))
+    ).astype(jnp.int32)
+    mask = eq & (dist <= hamming_threshold)
+    if use_size:
+        si = ssz[:, None, :]
+        sj = gather(ssz)
+        smaller = jnp.minimum(si, sj)
+        larger = jnp.maximum(si, sj)
+        mask &= (smaller <= 0) | (smaller / jnp.maximum(larger, 1.0) >= size_ratio)
+
+    n_edges = jnp.sum(mask, dtype=jnp.int32)
+    b_idx, w_idx, i_idx = jnp.nonzero(mask, size=max_edges, fill_value=-1)
+    j_idx = jnp.minimum(i_idx + w_idx + 1, n - 1)
+    gi = jnp.where(b_idx >= 0, order[jnp.maximum(b_idx, 0), i_idx], -1)
+    gj = jnp.where(b_idx >= 0, order[jnp.maximum(b_idx, 0), j_idx], -1)
+    d_out = jnp.where(b_idx >= 0, dist[jnp.maximum(b_idx, 0), w_idx, i_idx], -1)
+    return gi, gj, d_out, n_edges
+
+
+class BandedHammingScanner:
+    """Stateful scanner keeping the hash population device-resident.
+
+    The service steady state: signatures live on device between scans (like
+    posting lists in the query epoch); re-scans after config changes or
+    incremental updates skip the host->device upload entirely.
+    """
+
+    def __init__(
+        self,
+        *,
+        band_bits: int = 16,
+        band_count: int = 4,
+        max_window: int = 256,
+        max_edges_hint: int = 1 << 17,
+    ) -> None:
+        if band_bits * band_count > 64 or band_bits > 32:
+            raise ValueError("band config too large")
+        self.band_bits = band_bits
+        self.band_count = band_count
+        self.max_window = max_window
+        self.max_edges_hint = max_edges_hint
+        self._digest: bytes | None = None
+        self._ph_dev: jnp.ndarray | None = None
+        self._sizes_dev: jnp.ndarray | None = None
+
+    def _ensure_resident(self, ph_u64: np.ndarray, sizes: np.ndarray) -> None:
+        import hashlib
+
+        digest = hashlib.sha1(ph_u64.tobytes() + sizes.tobytes()).digest()
+        if digest == self._digest:
+            return
+        self._ph_dev = jnp.asarray(u64_to_u32pair(ph_u64))
+        self._sizes_dev = jnp.asarray(sizes.astype(np.float32))
+        self._digest = digest
+
+    def scan(
+        self,
+        ph_u64: np.ndarray,
+        *,
+        hamming_threshold: int,
+        sizes: np.ndarray | None = None,
+        size_ratio: float | None = None,
+        bucket_pair_cap: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full scan -> deduplicated (i, j, dist) with i < j."""
+        n = ph_u64.shape[0]
+        if n < 2:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+        sizes_f = (sizes if sizes is not None else np.zeros(n)).astype(np.float64)
+        use_size = size_ratio is not None and size_ratio > 0 and sizes is not None
+
+        # host: bucket stats (cap mask + window sizing + oversized runs)
+        keys = band_keys_np(ph_u64, self.band_bits, self.band_count)
+        ok = bucket_ok_np(keys, bucket_pair_cap)
+        max_run = 1
+        for b in range(self.band_count):
+            _, counts = np.unique(keys[:, b], return_counts=True)
+            max_run = max(max_run, int(counts.max()))
+        window = min(max_run - 1, self.max_window, n - 1)
+        if window > 0:
+            window = min(max(8, int(2 ** np.ceil(np.log2(window)))), self.max_window, n - 1)
+
+        out_i: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        if window > 0:
+            self._ensure_resident(ph_u64, sizes_f)
+            cap = self.max_edges_hint
+            while True:
+                gi, gj, d, n_edges = _scan_resident_kernel(
+                    self._ph_dev, self._sizes_dev, jnp.asarray(ok),
+                    jnp.int32(hamming_threshold), jnp.float32(size_ratio or 0.0),
+                    window=window, max_edges=cap, use_size=use_size,
+                    band_bits=self.band_bits, band_count=self.band_count,
+                )
+                count = int(n_edges)
+                if count <= cap:
+                    break
+                cap = int(2 ** np.ceil(np.log2(count + 1)))
+            gi = np.asarray(gi[:count]).astype(np.int64)
+            gj = np.asarray(gj[:count]).astype(np.int64)
+            d = np.asarray(d[:count]).astype(np.int64)
+            out_i.append(np.minimum(gi, gj))
+            out_j.append(np.maximum(gi, gj))
+            out_d.append(d)
+
+        # oversized buckets -> exact host fallback (same as edge_scan_banded)
+        if max_run - 1 > window:
+            ph64 = ph_u64
+            for b in range(self.band_count):
+                keys_b = keys[:, b]
+                order = np.argsort(keys_b, kind="stable")
+                starts, lengths = _run_lengths(keys_b[order])
+                for run in np.nonzero(lengths - 1 > window)[0]:
+                    members = order[starts[run] : starts[run] + lengths[run]]
+                    members = members[ok[members, b]]
+                    m = members.shape[0]
+                    if m < 2:
+                        continue
+                    h = ph64[members]
+                    dist = popcount64_np(h[:, None] ^ h[None, :]).astype(np.int64)
+                    mask = dist <= hamming_threshold
+                    if use_size:
+                        s = sizes_f[members]
+                        smaller = np.minimum(s[:, None], s[None, :])
+                        larger = np.maximum(s[:, None], s[None, :])
+                        mask &= (smaller <= 0) | (
+                            smaller / np.maximum(larger, 1.0) >= size_ratio
+                        )
+                    iu = np.triu_indices(m, k=1)
+                    sel = mask[iu]
+                    out_i.append(members[iu[0][sel]].astype(np.int64))
+                    out_j.append(members[iu[1][sel]].astype(np.int64))
+                    out_d.append(dist[iu][sel])
+
+        if not out_i:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+        ei = np.concatenate(out_i)
+        ej = np.concatenate(out_j)
+        ed = np.concatenate(out_d)
+        key = ei * np.int64(n) + ej
+        _, first = np.unique(key, return_index=True)
+        return ei[first], ej[first], ed[first]
 
 
 # ---------------------------------------------------------------------------

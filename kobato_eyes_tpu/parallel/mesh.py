@@ -80,9 +80,21 @@ def _path_str(key_path: tuple) -> str:
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding pytree for a ViT param tree under ``mesh``."""
+    """NamedSharding pytree for a ViT param tree under ``mesh``.
+
+    A rule only applies when every partitioned dimension is divisible by its
+    mesh-axis size; otherwise that tensor is replicated (small models on big
+    meshes stay correct, just less parallel).
+    """
+
     def to_sharding(key_path, leaf):
         spec = _spec_for_path(_path_str(key_path), np.ndim(leaf))
+        shape = np.shape(leaf)
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            if shape[dim] % mesh.shape[axis] != 0:
+                return NamedSharding(mesh, P())
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)

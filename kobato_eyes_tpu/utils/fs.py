@@ -1,0 +1,61 @@
+"""Filesystem safety helpers: system-path guards, trash, hidden checks.
+
+Counterpart of the reference's ``src/utils/fs.py`` (system-path + hidden
+checks, Send2Trash wrapper).  Without a desktop trash service the engine
+implements trash as an atomic move into a per-data-dir trash folder with a
+timestamped name — reversible, never a hard delete.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import time
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+_SYSTEM_PREFIXES = ("/bin", "/boot", "/dev", "/etc", "/lib", "/proc", "/run", "/sbin", "/sys", "/usr")
+
+
+def is_system_path(path: str | Path) -> bool:
+    p = str(Path(path).absolute())
+    return any(p == pre or p.startswith(pre + os.sep) for pre in _SYSTEM_PREFIXES)
+
+
+def is_hidden(path: str | Path) -> bool:
+    return any(part.startswith(".") for part in Path(path).parts if part not in ("/", ".."))
+
+
+def trash_file(path: str | Path, *, trash_dir: str | Path) -> Path | None:
+    """Move a file into the trash dir (timestamped to avoid collisions).
+
+    Returns the trashed path, or None when the source is missing. Refuses
+    system paths.
+    """
+    src = Path(path)
+    if is_system_path(src):
+        raise ValueError(f"refusing to trash system path: {src}")
+    if not src.exists():
+        return None
+    dest_dir = Path(trash_dir)
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    dest = dest_dir / f"{stamp}_{src.name}"
+    counter = 0
+    while dest.exists():
+        counter += 1
+        dest = dest_dir / f"{stamp}_{counter}_{src.name}"
+    shutil.move(str(src), str(dest))
+    logger.info("trashed %s -> %s", src, dest)
+    return dest
+
+
+def restore_from_trash(trashed: str | Path, original: str | Path) -> Path:
+    """Move a trashed file back to its original location."""
+    src = Path(trashed)
+    dest = Path(original)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    shutil.move(str(src), str(dest))
+    return dest

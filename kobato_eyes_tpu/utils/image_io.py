@@ -92,6 +92,42 @@ def load_rgb_array(
     return np.asarray(img, dtype=np.uint8)
 
 
+def generate_thumbnail(
+    path: str | Path,
+    *,
+    cache_dir: str | Path,
+    size: int = 256,
+    quality: int = 80,
+) -> Path | None:
+    """Cached WEBP thumbnail keyed by path+size+mtime (reference
+    image_io.py:181-263 semantics). Returns the cached file, None on failure."""
+    import hashlib
+
+    p = Path(path)
+    try:
+        st = p.stat()
+    except OSError:
+        return None
+    key = hashlib.sha1(f"{p}|{size}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()
+    cache = Path(cache_dir)
+    dest = cache / key[:2] / f"{key}.webp"
+    if dest.exists():
+        return dest
+    img = safe_load_image(p)
+    if img is None:
+        return None
+    img.thumbnail((size, size), Image.Resampling.BILINEAR)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    tmp = dest.with_suffix(".tmp.webp")
+    try:
+        img.save(tmp, "WEBP", quality=quality)
+        tmp.replace(dest)
+    except OSError as exc:
+        logger.warning("thumbnail write failed for %s: %s", p, exc)
+        return None
+    return dest
+
+
 def gray_resized(img: Image.Image, size: tuple[int, int], resample: Image.Resampling) -> np.ndarray:
     """Grayscale-convert then resize; float32 output.
 

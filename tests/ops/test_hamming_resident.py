@@ -1,0 +1,70 @@
+"""Resident scanner (device band keys + sort) vs the brute-force spec."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kobato_eyes_tpu.ops.hamming import (
+    BandedHammingScanner,
+    band_keys_np,
+    bucket_ok_np,
+    edge_scan_np,
+)
+
+
+def _edges_set(ei, ej, ed):
+    return {(int(a), int(b), int(d)) for a, b, d in zip(ei, ej, ed)}
+
+
+def _population(rng, n):
+    n_dups = n // 3
+    orig = rng.integers(0, 1 << 64, size=n - n_dups, dtype=np.uint64)
+    dups = orig[rng.integers(0, len(orig), size=n_dups)].copy()
+    for i in range(n_dups):
+        for bit in rng.integers(0, 64, size=int(rng.integers(0, 6))):
+            dups[i] ^= np.uint64(1) << np.uint64(bit)
+    out = np.concatenate([orig, dups])
+    rng.shuffle(out)
+    return out
+
+
+@pytest.mark.parametrize("band_bits,band_count", [(16, 4), (8, 8), (32, 2)])
+def test_resident_matches_spec(rng, band_bits, band_count):
+    ph = _population(rng, 250)
+    scanner = BandedHammingScanner(band_bits=band_bits, band_count=band_count)
+    bi, bj, bd = scanner.scan(ph, hamming_threshold=8)
+    keys = band_keys_np(ph, band_bits, band_count)
+    ok = bucket_ok_np(keys, None)
+    ni, nj, nd = edge_scan_np(ph, keys, ok, hamming_threshold=8)
+    assert _edges_set(bi, bj, bd) == _edges_set(ni, nj, nd)
+
+
+def test_resident_cache_reuse(rng):
+    ph = _population(rng, 150)
+    scanner = BandedHammingScanner()
+    a = scanner.scan(ph, hamming_threshold=8)
+    digest_after_first = scanner._digest
+    b = scanner.scan(ph, hamming_threshold=8)  # same data -> no re-upload
+    assert scanner._digest == digest_after_first
+    assert _edges_set(*a) == _edges_set(*b)
+    # different threshold on resident data still correct
+    keys = band_keys_np(ph, 16, 4)
+    ok = bucket_ok_np(keys, None)
+    c = scanner.scan(ph, hamming_threshold=2)
+    n = edge_scan_np(ph, keys, ok, hamming_threshold=2)
+    assert _edges_set(*c) == _edges_set(*n)
+
+
+def test_resident_size_ratio_and_cap(rng):
+    base = np.uint64(0xABCD_EF01_2345_6789)
+    ph = np.concatenate([np.full(40, base, dtype=np.uint64), _population(rng, 120)])
+    sizes = rng.integers(1, 1_000_000, size=len(ph)).astype(np.float64)
+    scanner = BandedHammingScanner(max_window=8)  # force oversized fallback
+    bi, bj, bd = scanner.scan(
+        ph, hamming_threshold=8, sizes=sizes, size_ratio=0.5, bucket_pair_cap=500
+    )
+    keys = band_keys_np(ph, 16, 4)
+    ok = bucket_ok_np(keys, 500)
+    ni, nj, nd = edge_scan_np(ph, keys, ok, hamming_threshold=8, sizes=sizes, size_ratio=0.5)
+    assert _edges_set(bi, bj, bd) == _edges_set(ni, nj, nd)

@@ -21,6 +21,7 @@ LAYERS: dict[str, int] = {
     "utils": 0,
     "native": 0,
     "ops": 1,
+    "parallel": 1,
     "sig": 2,
     "db": 2,
     "models": 2,

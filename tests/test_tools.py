@@ -1,0 +1,84 @@
+"""Tool-layer tests: calibration math, model inspection, db admin."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+
+from calibrate import auc, average_precision, calibrate, roc_curve, youden_threshold  # noqa: E402
+
+from kobato_eyes_tpu.db.admin import list_backups, reset_database
+from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+from kobato_eyes_tpu.models.inspection import detect_family, inspect_model
+from kobato_eyes_tpu.models.labels import TagMeta, synthetic_labels
+from kobato_eyes_tpu.models.base import TagCategory
+
+
+def test_roc_perfect_separation():
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    scores = np.array([0.1, 0.2, 0.3, 0.8, 0.9, 0.95])
+    fpr, tpr, _ = roc_curve(labels, scores)
+    assert auc(fpr, tpr) == pytest.approx(1.0)
+    assert average_precision(labels, scores) == pytest.approx(1.0)
+    thr, j = youden_threshold(labels, scores)
+    assert j == pytest.approx(1.0)
+    assert 0.3 < thr <= 0.8
+
+
+def test_roc_random_is_half():
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 2, 2000)
+    scores = rng.uniform(size=2000)
+    fpr, tpr, _ = roc_curve(labels, scores)
+    assert auc(fpr, tpr) == pytest.approx(0.5, abs=0.05)
+
+
+def test_calibrate_rows():
+    rows = [
+        {"label": "1", "ssim": "0.95", "structural": "0.9"},
+        {"label": "1", "ssim": "0.92", "structural": "0.8"},
+        {"label": "0", "ssim": "0.40", "structural": "0.2"},
+        {"label": "0", "ssim": "0.55", "structural": "0.3"},
+    ]
+    out = calibrate(rows, ["ssim", "structural"])
+    assert out["ssim"]["auc"] == 1.0
+    assert 0.55 < out["ssim"]["suggested_threshold"] <= 0.92
+
+
+def test_detect_family():
+    assert detect_family(synthetic_labels(8000)) == "wd14"
+    assert detect_family(synthetic_labels(13461)) == "pixai"
+    assert detect_family([TagMeta("a", TagCategory.CHARACTER, ips=("b",))]) == "pixai"
+    assert detect_family(synthetic_labels(100)) == "unknown"
+
+
+def test_inspect_model_with_csv(tmp_path):
+    ckpt = tmp_path / "model.ckpt"
+    ckpt.touch()
+    (tmp_path / "selected_tags.csv").write_text(
+        "name,category,count\n" + "\n".join(f"t{i},general,1" for i in range(8000)) + "\n"
+    )
+    info = inspect_model(checkpoint_path=ckpt)
+    assert info.family == "wd14"
+    assert info.label_count == 8000
+    assert "labels discovered" in info.notes[0]
+    assert "family: wd14" in info.summary()
+
+
+def test_reset_database_backs_up(tmp_path):
+    reset_bootstrap_cache()
+    db = tmp_path / "c.sqlite"
+    bootstrap(db).close()
+    assert db.exists()
+    backups = reset_database(db)
+    assert not db.exists()
+    assert backups and backups[0].exists()
+    assert list_backups(db) == backups
+    # fresh bootstrap after reset works
+    bootstrap(db).close()
+    assert db.exists()
