@@ -126,11 +126,18 @@ class IndexPipeline:
         stats.skipped = tag_result.skipped
 
         # EPOCH swap (the reference's offline FTS rebuild, device edition).
+        # Incremental when an epoch is already live: only tagged + vanished
+        # files are re-read (delta build), else a full snapshot.
         if self._epochs is not None and not self._is_cancelled():
             self._progress.phase(IndexPhase.EPOCH)
+            changed = [r.file_id for r in scan.records if r.tagged]
+            changed.extend(scan.missing_ids)
             conn = bootstrap(self._db_path)
             try:
-                epoch = self._epochs.rebuild(conn)
+                if self._epochs.current is None:
+                    epoch = self._epochs.rebuild(conn)
+                else:
+                    epoch = self._epochs.apply_delta(conn, changed)
                 stats.epoch_version = epoch.version
             finally:
                 conn.close()

@@ -90,40 +90,18 @@ class TagIndexEpoch:
         return int(self.offsets[-1]) if len(self.offsets) else 0
 
 
-def build_epoch(conn: sqlite3.Connection, *, version: int = 0) -> TagIndexEpoch:
-    """Snapshot the catalog's present files into a device epoch."""
-    t0 = time.perf_counter()
-    files = conn.execute(
-        "SELECT id, path, mtime FROM files WHERE is_present = 1 ORDER BY id"
-    ).fetchall()
-    file_ids = np.array([int(r[0]) for r in files], dtype=np.int64)
-    paths = [r[1] for r in files]
-    mtimes = np.array([float(r[2] or 0.0) for r in files], dtype=np.float64)
-    id_to_row = {fid: i for i, fid in enumerate(file_ids.tolist())}
-
-    tags = conn.execute("SELECT id, name, category FROM tags ORDER BY id").fetchall()
-    tag_names = [r[1] for r in tags]
-    tag_cats = np.array([int(r[2]) for r in tags], dtype=np.int32)
-    tid_by_db_id = {int(r[0]): i for i, r in enumerate(tags)}
-    name_to_tid = {name: i for i, name in enumerate(tag_names)}
-
-    ft = conn.execute("SELECT file_id, tag_id, score FROM file_tags").fetchall()
-    nnz = len(ft)
-    t_idx = np.empty(nnz, dtype=np.int64)
-    r_idx = np.empty(nnz, dtype=np.int32)
-    sc = np.empty(nnz, dtype=np.float32)
-    k = 0
-    for fid, tag_db_id, score in ft:
-        row = id_to_row.get(int(fid))
-        tid = tid_by_db_id.get(int(tag_db_id))
-        if row is None or tid is None:
-            continue
-        t_idx[k] = tid
-        r_idx[k] = row
-        sc[k] = score
-        k += 1
-    t_idx, r_idx, sc = t_idx[:k], r_idx[:k], sc[:k]
-
+def _assemble_epoch(
+    *,
+    version: int,
+    file_ids: np.ndarray,
+    mtimes: np.ndarray,
+    paths: list[str],
+    tag_names: list[str],
+    tag_cats: np.ndarray,
+    t_idx: np.ndarray,  # (nnz,) tag row per entry
+    r_idx: np.ndarray,  # (nnz,) file row per entry
+    sc: np.ndarray,  # (nnz,) float32 scores
+) -> TagIndexEpoch:
     order = np.argsort(t_idx, kind="stable")
     t_idx, r_idx, sc = t_idx[order], r_idx[order], sc[order]
     offsets = np.zeros(len(tag_names) + 1, dtype=np.int64)
@@ -133,29 +111,181 @@ def build_epoch(conn: sqlite3.Connection, *, version: int = 0) -> TagIndexEpoch:
     n = len(file_ids)
     cat_max = np.zeros((n, _NUM_CATEGORIES), dtype=np.float32)
     cat_present = np.zeros((n, _NUM_CATEGORIES), dtype=bool)
-    if k:
+    if len(t_idx):
         cats_of_entries = tag_cats[t_idx]
         valid = (cats_of_entries >= 0) & (cats_of_entries < _NUM_CATEGORIES)
         np.maximum.at(cat_max, (r_idx[valid], cats_of_entries[valid]), sc[valid])
         cat_present[r_idx[valid], cats_of_entries[valid]] = True
 
-    epoch = TagIndexEpoch(
+    return TagIndexEpoch(
         version=version,
         file_ids=file_ids,
         mtimes=mtimes,
         paths=paths,
         tag_names=tag_names,
         tag_cats=tag_cats,
-        name_to_tid=name_to_tid,
+        name_to_tid={name: i for i, name in enumerate(tag_names)},
         offsets=offsets,
-        rows_dev=jnp.asarray(r_idx),
-        scores_dev=jnp.asarray(sc),
+        rows_dev=jnp.asarray(r_idx.astype(np.int32)),
+        scores_dev=jnp.asarray(sc.astype(np.float32)),
         cat_max_dev=jnp.asarray(cat_max),
         cat_present_dev=jnp.asarray(cat_present),
     )
+
+
+def _fetch_file_tag_arrays(
+    conn: sqlite3.Connection, where: str = "", params: Sequence = ()
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """file_tags -> (file_id, tag_id, score) arrays without per-row Python."""
+    rows = conn.execute(
+        f"SELECT file_id, tag_id, score FROM file_tags {where}", list(params)
+    ).fetchall()
+    m = len(rows)
+    fid = np.fromiter((r[0] for r in rows), dtype=np.int64, count=m)
+    tid = np.fromiter((r[1] for r in rows), dtype=np.int64, count=m)
+    sc = np.fromiter((r[2] for r in rows), dtype=np.float32, count=m)
+    return fid, tid, sc
+
+
+def build_epoch(conn: sqlite3.Connection, *, version: int = 0) -> TagIndexEpoch:
+    """Snapshot the catalog's present files into a device epoch."""
+    t0 = time.perf_counter()
+    files = conn.execute(
+        "SELECT id, path, mtime FROM files WHERE is_present = 1 ORDER BY id"
+    ).fetchall()
+    nf = len(files)
+    file_ids = np.fromiter((r[0] for r in files), dtype=np.int64, count=nf)
+    paths = [r[1] for r in files]
+    mtimes = np.fromiter((r[2] or 0.0 for r in files), dtype=np.float64, count=nf)
+
+    tags = conn.execute("SELECT id, name, category FROM tags ORDER BY id").fetchall()
+    nt = len(tags)
+    tag_db_ids = np.fromiter((r[0] for r in tags), dtype=np.int64, count=nt)
+    tag_names = [r[1] for r in tags]
+    tag_cats = np.fromiter((r[2] for r in tags), dtype=np.int32, count=nt)
+
+    fid, tid_db, sc = _fetch_file_tag_arrays(conn)
+    # vectorized id -> row mapping (both id arrays are sorted, unique)
+    if nf and nt and len(fid):
+        r_idx = np.searchsorted(file_ids, fid)
+        t_idx = np.searchsorted(tag_db_ids, tid_db)
+        valid = (r_idx < nf) & (t_idx < nt)
+        valid &= file_ids[np.minimum(r_idx, nf - 1)] == fid
+        valid &= tag_db_ids[np.minimum(t_idx, nt - 1)] == tid_db
+    else:
+        r_idx = np.zeros(0, dtype=np.int64)
+        t_idx = np.zeros(0, dtype=np.int64)
+        valid = np.zeros(len(fid), dtype=bool)[:0]
+        fid, sc = fid[:0], sc[:0]
+        valid = np.zeros(0, dtype=bool)
+
+    epoch = _assemble_epoch(
+        version=version, file_ids=file_ids, mtimes=mtimes, paths=paths,
+        tag_names=tag_names, tag_cats=tag_cats,
+        t_idx=t_idx[valid], r_idx=r_idx[valid].astype(np.int32), sc=sc[valid],
+    )
     logger.info(
         "epoch v%d built: files=%d tags=%d nnz=%d in %.3fs",
-        version, n, len(tag_names), k, time.perf_counter() - t0,
+        version, nf, nt, int(valid.sum()), time.perf_counter() - t0,
+    )
+    return epoch
+
+
+def update_epoch(
+    conn: sqlite3.Connection,
+    prev: TagIndexEpoch,
+    *,
+    changed_file_ids: Sequence[int],
+    version: int,
+) -> TagIndexEpoch:
+    """Delta build: re-read only the changed/added/removed files.
+
+    The incremental engine (SURVEY §7 step 7): postings of changed files are
+    dropped from the previous CSR and re-fetched; files absent from the
+    catalog (deleted / soft-deleted) leave the file axis.  New tags extend
+    the vocabulary.  Cost scales with |changes| + nnz (one argsort), not
+    with a full catalog re-read.
+    """
+    t0 = time.perf_counter()
+    changed = np.unique(np.asarray(list(changed_file_ids), dtype=np.int64))
+
+    # current state of the changed ids (which still exist & are present)
+    placeholders = ",".join("?" * len(changed))
+    cur_rows = conn.execute(
+        f"SELECT id, path, mtime FROM files WHERE is_present = 1 AND id IN ({placeholders})",
+        changed.tolist(),
+    ).fetchall() if len(changed) else []
+    alive = {int(r[0]): (r[1], float(r[2] or 0.0)) for r in cur_rows}
+
+    # new file axis: previous files minus changed-and-gone, plus changed-and-alive
+    prev_ids = prev.file_ids
+    keep_mask = ~np.isin(prev_ids, changed)
+    kept_ids = prev_ids[keep_mask]
+    add_ids = np.array(sorted(alive), dtype=np.int64)
+    file_ids = np.concatenate([kept_ids, add_ids])
+    order = np.argsort(file_ids, kind="stable")
+    file_ids = file_ids[order]
+
+    prev_pos = {int(f): i for i, f in enumerate(prev_ids.tolist())}
+    paths_all = []
+    mtimes_all = np.empty(len(file_ids), dtype=np.float64)
+    for i, f in enumerate(file_ids.tolist()):
+        if f in alive:
+            p, mt = alive[f]
+        else:
+            j = prev_pos[f]
+            p, mt = prev.paths[j], float(prev.mtimes[j])
+        paths_all.append(p)
+        mtimes_all[i] = mt
+
+    # refreshed tag vocabulary (append-only in practice)
+    tags = conn.execute("SELECT id, name, category FROM tags ORDER BY id").fetchall()
+    nt = len(tags)
+    tag_db_ids = np.fromiter((r[0] for r in tags), dtype=np.int64, count=nt)
+    tag_names = [r[1] for r in tags]
+    tag_cats = np.fromiter((r[2] for r in tags), dtype=np.int32, count=nt)
+    # previous tid -> new tid (names are unique and stable)
+    name_pos = {n: i for i, n in enumerate(tag_names)}
+    prev_tid_map = np.array([name_pos.get(n, -1) for n in prev.tag_names], dtype=np.int64)
+
+    # surviving postings from the previous epoch
+    prev_rows = np.asarray(prev.rows_dev)
+    prev_scores = np.asarray(prev.scores_dev)
+    prev_tids = np.repeat(
+        np.arange(prev.num_tags, dtype=np.int64), np.diff(prev.offsets)
+    )
+    surv = keep_mask[prev_rows]
+    s_rows_old = prev_rows[surv]
+    s_t_old = prev_tid_map[prev_tids[surv]]
+    s_sc = prev_scores[surv]
+    # remap old file rows -> new rows
+    old_to_new = np.searchsorted(file_ids, prev_ids)
+    s_rows = old_to_new[s_rows_old].astype(np.int32)
+    ok_t = s_t_old >= 0
+    s_rows, s_t, s_sc = s_rows[ok_t], s_t_old[ok_t], s_sc[ok_t]
+
+    # fresh postings for the changed-and-alive files
+    if len(add_ids):
+        ph = ",".join("?" * len(add_ids))
+        fid, tid_db, sc = _fetch_file_tag_arrays(
+            conn, f"WHERE file_id IN ({ph})", add_ids.tolist()
+        )
+        n_rows = np.searchsorted(file_ids, fid).astype(np.int32)
+        n_t = np.searchsorted(tag_db_ids, tid_db)
+        t_idx = np.concatenate([s_t, n_t])
+        r_idx = np.concatenate([s_rows, n_rows])
+        scores = np.concatenate([s_sc, sc.astype(np.float32)])
+    else:
+        t_idx, r_idx, scores = s_t, s_rows, s_sc
+
+    epoch = _assemble_epoch(
+        version=version, file_ids=file_ids, mtimes=mtimes_all, paths=paths_all,
+        tag_names=tag_names, tag_cats=tag_cats,
+        t_idx=t_idx, r_idx=r_idx, sc=scores,
+    )
+    logger.info(
+        "epoch v%d delta: files=%d (+%d changed) nnz=%d in %.3fs",
+        version, len(file_ids), len(changed), len(t_idx), time.perf_counter() - t0,
     )
     return epoch
 
@@ -304,4 +434,19 @@ class EpochManager:
         self._version += 1
         epoch = build_epoch(conn, version=self._version)
         self._epoch = epoch  # atomic reference swap; old readers keep theirs
+        return epoch
+
+    def apply_delta(
+        self, conn: sqlite3.Connection, changed_file_ids: Sequence[int]
+    ) -> TagIndexEpoch:
+        """Incremental swap; falls back to a full rebuild when no epoch exists."""
+        if self._epoch is None:
+            return self.rebuild(conn)
+        if not changed_file_ids:
+            return self._epoch
+        self._version += 1
+        epoch = update_epoch(
+            conn, self._epoch, changed_file_ids=changed_file_ids, version=self._version
+        )
+        self._epoch = epoch
         return epoch

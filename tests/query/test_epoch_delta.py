@@ -1,0 +1,94 @@
+"""Incremental epoch updates vs full rebuild (must be indistinguishable)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+from kobato_eyes_tpu.db.repository import (
+    TaggingItem,
+    delete_files,
+    mark_files_absent,
+    upsert_file,
+    write_tagging_batch,
+)
+from kobato_eyes_tpu.query.engine import EpochManager, build_epoch, search_epoch, update_epoch
+
+QUERIES = ["alpha", "beta OR gamma", "-alpha", "category:character", "score>=0.8", ""]
+
+
+def _assert_equivalent(a, b):
+    for q in QUERIES:
+        ra = [(r.file_id, round(r.relevance, 5)) for r in search_epoch(a, q, order_by="id", limit=10_000)]
+        rb = [(r.file_id, round(r.relevance, 5)) for r in search_epoch(b, q, order_by="id", limit=10_000)]
+        assert ra == rb, q
+
+
+@pytest.fixture
+def conn(tmp_path):
+    reset_bootstrap_cache()
+    c = bootstrap(tmp_path / "d.sqlite")
+    rng = np.random.default_rng(11)
+    items = []
+    for i in range(60):
+        fid = upsert_file(c, path=f"/lib/{i:03d}.png", mtime=1e9 + i)
+        tags = []
+        if rng.random() < 0.7:
+            tags.append(("alpha", float(rng.uniform(0.3, 1)), 0))
+        if rng.random() < 0.4:
+            tags.append(("beta", float(rng.uniform(0.3, 1)), 4))
+        if rng.random() < 0.2:
+            tags.append(("gamma", float(rng.uniform(0.3, 1)), 3))
+        items.append(TaggingItem(fid, tags, tagger_sig="s"))
+    write_tagging_batch(c, items)
+    yield c
+    c.close()
+
+
+def test_delta_retag_matches_rebuild(conn):
+    prev = build_epoch(conn, version=1)
+    # retag three files with different tags
+    changed = [int(r[0]) for r in conn.execute("SELECT id FROM files LIMIT 3")]
+    write_tagging_batch(conn, [
+        TaggingItem(changed[0], [("delta_tag", 0.95, 0)], tagger_sig="s2"),
+        TaggingItem(changed[1], [("alpha", 0.1, 0), ("beta", 0.99, 4)], tagger_sig="s2"),
+        TaggingItem(changed[2], [], tagger_sig="s2"),
+    ])
+    delta = update_epoch(conn, prev, changed_file_ids=changed, version=2)
+    full = build_epoch(conn, version=2)
+    _assert_equivalent(delta, full)
+    assert "delta_tag" in delta.name_to_tid
+
+
+def test_delta_new_files(conn):
+    prev = build_epoch(conn, version=1)
+    new_ids = []
+    for i in range(5):
+        fid = upsert_file(conn, path=f"/lib/new_{i}.png", mtime=2e9 + i)
+        new_ids.append(fid)
+    write_tagging_batch(conn, [TaggingItem(f, [("alpha", 0.9, 0)]) for f in new_ids])
+    delta = update_epoch(conn, prev, changed_file_ids=new_ids, version=2)
+    _assert_equivalent(delta, build_epoch(conn, version=2))
+
+
+def test_delta_deletions(conn):
+    prev = build_epoch(conn, version=1)
+    ids = [int(r[0]) for r in conn.execute("SELECT id FROM files LIMIT 6")]
+    mark_files_absent(conn, ids[:3])
+    delete_files(conn, ids[3:6])
+    conn.commit()
+    delta = update_epoch(conn, prev, changed_file_ids=ids, version=2)
+    _assert_equivalent(delta, build_epoch(conn, version=2))
+    assert delta.num_files == prev.num_files - 6
+
+
+def test_manager_delta_path(conn):
+    mgr = EpochManager()
+    assert mgr.apply_delta(conn, [1, 2]).version == 1  # no epoch yet -> full build
+    fid = upsert_file(conn, path="/lib/zzz.png", mtime=3e9)
+    write_tagging_batch(conn, [TaggingItem(fid, [("beta", 0.5, 4)])])
+    epoch = mgr.apply_delta(conn, [fid])
+    assert epoch.version == 2
+    _assert_equivalent(epoch, build_epoch(conn, version=2))
+    assert mgr.apply_delta(conn, []) is epoch  # no changes -> same epoch
