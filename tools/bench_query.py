@@ -1,0 +1,152 @@
+"""Query-engine latency benchmark: device posting lists vs SQL fallback.
+
+BASELINE.md metric 3: query p50 latency (the reference published none, so
+both backends are measured here under identical data and queries).
+
+Builds a synthetic catalog (default 70k files, Zipf-ish tag distribution over
+a 10k-tag vocabulary), snapshots it into a device epoch, then times a mixed
+query workload on both backends.  Prints one JSON document.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+QUERY_WORKLOAD = [
+    "tag_0",
+    "tag_1 tag_3",
+    "tag_0 OR tag_7",
+    "tag_2 -tag_9",
+    "( tag_1 OR tag_4 ) tag_0 -tag_50",
+    "category:character",
+    "category:character score>=0.5",
+    "score>=0.9",
+    "tag_12 AND NOT ( tag_30 OR tag_31 )",
+    "unknown_tag OR tag_5",
+]
+
+
+def build_catalog(db_path: Path, n_files: int, n_tags: int, seed: int = 0) -> None:
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import TaggingItem, upsert_file, write_tagging_batch
+    from kobato_eyes_tpu.models.base import TagCategory
+
+    rng = np.random.default_rng(seed)
+    conn = bootstrap(db_path)
+    try:
+        cats = np.where(
+            rng.random(n_tags) < 0.85, int(TagCategory.GENERAL),
+            rng.choice([1, 2, 3, 4, 5], size=n_tags),
+        )
+        # Zipf-ish popularity: tag_k appears with prob ~ 1/(k+2)
+        popularity = 1.0 / (np.arange(n_tags) + 2.0)
+        popularity *= 30.0 / popularity.sum()  # ~30 tags/file on average
+
+        items = []
+        t0 = time.perf_counter()
+        with conn:
+            for i in range(n_files):
+                fid = upsert_file(
+                    conn, path=f"/bench/{i:07d}.png", size=1000 + i, mtime=1e9 + (i % 997)
+                )
+                hit = rng.random(n_tags) < popularity
+                idx = np.nonzero(hit)[0]
+                tags = [
+                    (f"tag_{k}", float(rng.uniform(0.1, 1.0)), int(cats[k])) for k in idx
+                ]
+                items.append(TaggingItem(fid, tags, tagger_sig="bench"))
+                if len(items) >= 2000:
+                    write_tagging_batch(conn, items)
+                    items.clear()
+            if items:
+                write_tagging_batch(conn, items)
+        print(f"catalog built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    finally:
+        conn.close()
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--files", type=int, default=70_000)
+    parser.add_argument("--tags", type=int, default=10_000)
+    parser.add_argument("--repeats", type=int, default=20)
+    parser.add_argument("--db", help="reuse an existing bench catalog")
+    args = parser.parse_args(argv)
+
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import search_files
+    from kobato_eyes_tpu.query.ast import extract_positive_tag_terms
+    from kobato_eyes_tpu.query.engine import build_epoch, search_epoch
+    from kobato_eyes_tpu.query.sql import normalize_thresholds, translate_query
+
+    if args.db:
+        db = Path(args.db)
+        if not db.exists():
+            build_catalog(db, args.files, args.tags)
+    else:
+        tmp = tempfile.mkdtemp(prefix="ket_bench_query_")
+        db = Path(tmp) / "bench.sqlite"
+        build_catalog(db, args.files, args.tags)
+
+    conn = bootstrap(db)
+    try:
+        t0 = time.perf_counter()
+        epoch = build_epoch(conn)
+        build_s = time.perf_counter() - t0
+
+        thr = normalize_thresholds({})
+        # warmup both backends
+        for q in QUERY_WORKLOAD:
+            search_epoch(epoch, q, limit=200)
+            frag = translate_query(q, thresholds={})
+            search_files(conn, frag.where, frag.params,
+                         positive_tags=extract_positive_tag_terms(q),
+                         thresholds=thr, limit=200, hydrate=False)
+
+        device_ms: list[float] = []
+        sql_ms: list[float] = []
+        mismatch = 0
+        for _ in range(args.repeats):
+            for q in QUERY_WORKLOAD:
+                t0 = time.perf_counter()
+                dev = search_epoch(epoch, q, limit=200)
+                device_ms.append((time.perf_counter() - t0) * 1000)
+                frag = translate_query(q, thresholds={})
+                t0 = time.perf_counter()
+                sql = search_files(conn, frag.where, frag.params,
+                                   positive_tags=extract_positive_tag_terms(q),
+                                   thresholds=thr, limit=200, hydrate=False)
+                sql_ms.append((time.perf_counter() - t0) * 1000)
+                if [r.file_id for r in dev] != [r.file_id for r in sql]:
+                    mismatch += 1
+        assert mismatch == 0, f"{mismatch} backend mismatches"
+
+        d = np.asarray(device_ms)
+        s = np.asarray(sql_ms)
+        print(json.dumps({
+            "metric": "query_p50_ms_70k",
+            "value": round(float(np.percentile(d, 50)), 3),
+            "unit": "ms",
+            "vs_baseline": round(float(np.percentile(s, 50)) / float(np.percentile(d, 50)), 2),
+            "files": args.files,
+            "epoch_build_s": round(build_s, 2),
+            "device_ms": {"p50": round(float(np.percentile(d, 50)), 3),
+                          "p95": round(float(np.percentile(d, 95)), 3)},
+            "sql_ms": {"p50": round(float(np.percentile(s, 50)), 3),
+                       "p95": round(float(np.percentile(s, 95)), 3)},
+        }))
+    finally:
+        conn.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
