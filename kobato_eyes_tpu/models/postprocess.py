@@ -79,12 +79,13 @@ def topk_hits_by_category(
     over the (B, C) matrix.
     """
     hit = probs >= thr_vec[None, :]
+    n_labels = probs.shape[1]
     parts_s = []
     parts_i = []
     for cat, cap in caps:
         mask = hit & (cat_vec[None, :] == cat)
         masked = jnp.where(mask, probs, NEG_INF)
-        s, i = jax.lax.top_k(masked, cap)
+        s, i = jax.lax.top_k(masked, min(cap, n_labels))
         parts_s.append(s)
         parts_i.append(i)
     return jnp.concatenate(parts_s, axis=1), jnp.concatenate(parts_i, axis=1)
