@@ -76,12 +76,20 @@ def main() -> None:
     # --- device engine; warmup run at the SAME shapes so the timed run
     # excludes compilation (the reference bench likewise excludes its warmup
     # batch, tools/bench.py) ---
+    from kobato_eyes_tpu.utils.metrics import metrics
+
     scanner = TpuDuplicateScanner(config, block=4096)
     device_clusters = scanner.build_clusters(files)  # warmup/compile
+    metrics.reset()
     t0 = time.perf_counter()
     device_clusters = scanner.build_clusters(files)
     device_s = time.perf_counter() - t0
     device_pps = pair_space / device_s
+    phase_report = {
+        name: round(stats["total"], 4)
+        for name, stats in metrics.snapshot()["timers"].items()
+    }
+    print(f"device scan {device_s:.3f}s, phases: {phase_report}", file=sys.stderr)
 
     # --- CPU reference on the same data ---
     cpu_n = n

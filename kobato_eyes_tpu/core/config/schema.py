@@ -96,6 +96,9 @@ class PipelineSettings(BaseModel):
     prefetch_depth: int = Field(default=4, ge=1, le=64)
     io_workers: int = Field(default=8, ge=1, le=64)
     hash_batch_size: int = Field(default=4096, ge=1)
+    # prepared-tensor cache (reference KE_TAGGER_INPUT_CACHE, loaders.py:205-225)
+    tagger_input_cache: bool = False
+    input_cache_dir: Path | None = None
 
     @field_validator("allow_exts", mode="before")
     @classmethod

@@ -19,6 +19,7 @@ import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Callable, Iterator, Sequence
 
 import numpy as np
@@ -63,6 +64,54 @@ class PreparedBatch:
 
 _SENTINEL = object()
 
+# bump when the prepared-tensor layout changes (cache invalidation)
+_CACHE_VERSION = "v1"
+
+
+class PreparedInputCache:
+    """Per-file prepared-tensor cache keyed by path+size+mtime+version.
+
+    Counterpart of the reference's ``.npz`` input cache
+    (``loaders.py:310-380``): skips decode+resize for unchanged files on
+    re-tag runs (model changes re-tag the whole library; pixels don't change).
+    """
+
+    def __init__(self, cache_dir: str | Path) -> None:
+        self.dir = Path(cache_dir)
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, record: FileRecord) -> Path:
+        import hashlib
+
+        raw = f"{record.path}|{record.size}|{record.mtime}|{_CACHE_VERSION}"
+        digest = hashlib.sha1(raw.encode()).hexdigest()
+        return self.dir / digest[:2] / f"{digest}.npz"
+
+    def get(self, record: FileRecord) -> tuple[np.ndarray, int, int] | None:
+        path = self._key(record)
+        if not path.exists():
+            self.misses += 1
+            return None
+        try:
+            data = np.load(path)
+            self.hits += 1
+            return data["pixels"], int(data["w"]), int(data["h"])
+        except (OSError, ValueError, KeyError):
+            self.misses += 1
+            return None
+
+    def put(self, record: FileRecord, pixels: np.ndarray, w: int, h: int) -> None:
+        path = self._key(record)
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp.npz")
+            np.savez(tmp, pixels=pixels, w=w, h=h)
+            tmp.replace(path)
+        except OSError as exc:
+            # Failure policy: cache writes are best-effort.
+            logger.debug("input cache write failed for %s: %s", record.path, exc)
+
 
 class PrefetchLoader:
     """Iterate prepared batches with bounded prefetch."""
@@ -75,6 +124,7 @@ class PrefetchLoader:
         batch_size: int = 32,
         prefetch_depth: int = 4,
         io_workers: int = 8,
+        cache: PreparedInputCache | None = None,
         is_cancelled: Callable[[], bool] | None = None,
     ) -> None:
         # (parent dir, size) ordering for IO locality.
@@ -83,12 +133,20 @@ class PrefetchLoader:
         self._batch_size = batch_size
         self._queue: queue.Queue = queue.Queue(maxsize=max(1, prefetch_depth))
         self._io_workers = io_workers
+        self._cache = cache
         self._is_cancelled = is_cancelled or (lambda: False)
         self._error: BaseException | None = None
         self.metrics = LoaderMetrics()
         self._thread = threading.Thread(target=self._producer, name="prefetch-loader", daemon=True)
 
-    def _decode_one(self, record: FileRecord) -> tuple[FileRecord, np.ndarray | None]:
+    def _prepare_one(self, record: FileRecord) -> tuple[FileRecord, np.ndarray | None]:
+        """Decode + single-image prepare (cache-aware): -> (S, S, 3) uint8."""
+        if self._cache is not None:
+            hit = self._cache.get(record)
+            if hit is not None:
+                pixels, w, h = hit
+                record.width, record.height = w, h
+                return record, pixels
         t0 = time.perf_counter()
         arr = load_rgb_array(record.path)
         if arr is None:
@@ -97,7 +155,10 @@ class PrefetchLoader:
             return record, None
         self.metrics.note_decode(time.perf_counter() - t0, str(record.path))
         record.width, record.height = arr.shape[1], arr.shape[0]
-        return record, arr
+        pixels = self._prepare([arr])[0]
+        if self._cache is not None:
+            self._cache.put(record, pixels, record.width, record.height)
+        return record, pixels
 
     def _producer(self) -> None:
         try:
@@ -106,11 +167,11 @@ class PrefetchLoader:
                     if self._is_cancelled():
                         break
                     chunk = self._records[start : start + self._batch_size]
-                    decoded = list(pool.map(self._decode_one, chunk))
+                    decoded = list(pool.map(self._prepare_one, chunk))
                     ok = [(r, a) for r, a in decoded if a is not None]
                     if not ok:
                         continue
-                    pixels = self._prepare([a for _, a in ok])
+                    pixels = np.stack([a for _, a in ok])
                     batch = PreparedBatch(
                         records=[r for r, _ in ok],
                         pixels=pixels,

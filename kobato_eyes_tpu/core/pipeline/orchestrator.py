@@ -109,12 +109,21 @@ class IndexPipeline:
                 writer = self._writer_factory()
                 writer.start()
                 try:
+                    cache_dir = None
+                    if self._settings.pipeline.tagger_input_cache:
+                        from kobato_eyes_tpu.utils.paths import get_app_paths
+
+                        cache_dir = str(
+                            self._settings.pipeline.input_cache_dir
+                            or get_app_paths(self._settings.data_dir).cache_dir / "prepared"
+                        )
                     tag_result = TagStage(
                         self._tagger,
                         tagger_sig=self._tagger_sig,
                         batch_size=self._settings.pipeline.batch_size,
                         prefetch_depth=self._settings.pipeline.prefetch_depth,
                         io_workers=self._settings.pipeline.io_workers,
+                        input_cache_dir=cache_dir,
                         is_cancelled=self._is_cancelled,
                     ).run(scan.records, writer, self._progress)
                 finally:

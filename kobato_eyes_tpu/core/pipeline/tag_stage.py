@@ -49,6 +49,7 @@ class TagStage:
         batch_size: int = 32,
         prefetch_depth: int = 4,
         io_workers: int = 8,
+        input_cache_dir: str | None = None,
         is_cancelled: Callable[[], bool] | None = None,
     ) -> None:
         self._tagger = tagger
@@ -56,6 +57,7 @@ class TagStage:
         self._batch_size = batch_size
         self._prefetch_depth = prefetch_depth
         self._io_workers = io_workers
+        self._input_cache_dir = input_cache_dir
         self._is_cancelled = is_cancelled or (lambda: False)
 
     def run(
@@ -69,12 +71,20 @@ class TagStage:
         if not todo:
             return result
         progress.phase(IndexPhase.TAG, 0, len(todo))
+        from kobato_eyes_tpu.core.pipeline.loaders import PreparedInputCache
+
+        cache = (
+            PreparedInputCache(self._input_cache_dir)
+            if self._input_cache_dir
+            else None
+        )
         loader = PrefetchLoader(
             todo,
             prepare=self._tagger.prepare_batch_from_rgb,
             batch_size=self._batch_size,
             prefetch_depth=self._prefetch_depth,
             io_workers=self._io_workers,
+            cache=cache,
             is_cancelled=self._is_cancelled,
         )
         done = 0

@@ -98,9 +98,12 @@ class TpuDuplicateScanner:
             n_pairs_scanned, len(ei), time.perf_counter() - t0,
         )
 
-        files_by_id = dict(zip(ids.tolist(), unique))
-        # array fast path into the vectorized assembly (no per-edge tuples)
-        clusters = assemble_clusters(files_by_id, (ids[ei], ids[ej], dists))
+        from kobato_eyes_tpu.utils.metrics import metrics
+
+        with metrics.timer("dup.assemble"):
+            files_by_id = dict(zip(ids.tolist(), unique))
+            # array fast path into the vectorized assembly (no per-edge tuples)
+            clusters = assemble_clusters(files_by_id, (ids[ei], ids[ej], dists))
         logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
         return clusters
 

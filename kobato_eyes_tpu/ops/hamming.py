@@ -529,6 +529,8 @@ class BandedHammingScanner:
         bucket_pair_cap: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full scan -> deduplicated (i, j, dist) with i < j."""
+        from kobato_eyes_tpu.utils.metrics import metrics
+
         n = ph_u64.shape[0]
         if n < 2:
             return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
@@ -536,12 +538,13 @@ class BandedHammingScanner:
         use_size = size_ratio is not None and size_ratio > 0 and sizes is not None
 
         # host: bucket stats (cap mask + window sizing + oversized runs)
-        keys = band_keys_np(ph_u64, self.band_bits, self.band_count)
-        ok = bucket_ok_np(keys, bucket_pair_cap)
-        max_run = 1
-        for b in range(self.band_count):
-            _, counts = np.unique(keys[:, b], return_counts=True)
-            max_run = max(max_run, int(counts.max()))
+        with metrics.timer("dup.scan.bucket_stats"):
+            keys = band_keys_np(ph_u64, self.band_bits, self.band_count)
+            ok = bucket_ok_np(keys, bucket_pair_cap)
+            max_run = 1
+            for b in range(self.band_count):
+                _, counts = np.unique(keys[:, b], return_counts=True)
+                max_run = max(max_run, int(counts.max()))
         window = min(max_run - 1, self.max_window, n - 1)
         if window > 0:
             window = min(max(8, int(2 ** np.ceil(np.log2(window)))), self.max_window, n - 1)
@@ -550,22 +553,26 @@ class BandedHammingScanner:
         out_j: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
         if window > 0:
-            self._ensure_resident(ph_u64, sizes_f)
+            with metrics.timer("dup.scan.upload"):
+                self._ensure_resident(ph_u64, sizes_f)
+                ok_dev = jnp.asarray(ok)
             cap = self.max_edges_hint
-            while True:
-                gi, gj, d, n_edges = _scan_resident_kernel(
-                    self._ph_dev, self._sizes_dev, jnp.asarray(ok),
-                    jnp.int32(hamming_threshold), jnp.float32(size_ratio or 0.0),
-                    window=window, max_edges=cap, use_size=use_size,
-                    band_bits=self.band_bits, band_count=self.band_count,
-                )
-                count = int(n_edges)
-                if count <= cap:
-                    break
-                cap = int(2 ** np.ceil(np.log2(count + 1)))
-            gi = np.asarray(gi[:count]).astype(np.int64)
-            gj = np.asarray(gj[:count]).astype(np.int64)
-            d = np.asarray(d[:count]).astype(np.int64)
+            with metrics.timer("dup.scan.device"):
+                while True:
+                    gi, gj, d, n_edges = _scan_resident_kernel(
+                        self._ph_dev, self._sizes_dev, ok_dev,
+                        jnp.int32(hamming_threshold), jnp.float32(size_ratio or 0.0),
+                        window=window, max_edges=cap, use_size=use_size,
+                        band_bits=self.band_bits, band_count=self.band_count,
+                    )
+                    count = int(n_edges)
+                    if count <= cap:
+                        break
+                    cap = int(2 ** np.ceil(np.log2(count + 1)))
+            with metrics.timer("dup.scan.download"):
+                gi = np.asarray(gi[:count]).astype(np.int64)
+                gj = np.asarray(gj[:count]).astype(np.int64)
+                d = np.asarray(d[:count]).astype(np.int64)
             out_i.append(np.minimum(gi, gj))
             out_j.append(np.maximum(gi, gj))
             out_d.append(d)
