@@ -480,7 +480,9 @@ def _scan_resident_kernel(
     gi = jnp.where(b_idx >= 0, order[jnp.maximum(b_idx, 0), i_idx], -1)
     gj = jnp.where(b_idx >= 0, order[jnp.maximum(b_idx, 0), j_idx], -1)
     d_out = jnp.where(b_idx >= 0, dist[jnp.maximum(b_idx, 0), w_idx, i_idx], -1)
-    return gi, gj, d_out, n_edges
+    # Single stacked output: count rides in row 3 so the host needs exactly
+    # ONE device->host transfer (round trips dominate on tunneled chips).
+    return jnp.stack([gi, gj, d_out, jnp.full_like(gi, n_edges)])
 
 
 class BandedHammingScanner:
@@ -559,20 +561,21 @@ class BandedHammingScanner:
             cap = self.max_edges_hint
             with metrics.timer("dup.scan.device"):
                 while True:
-                    gi, gj, d, n_edges = _scan_resident_kernel(
-                        self._ph_dev, self._sizes_dev, ok_dev,
-                        jnp.int32(hamming_threshold), jnp.float32(size_ratio or 0.0),
-                        window=window, max_edges=cap, use_size=use_size,
-                        band_bits=self.band_bits, band_count=self.band_count,
-                    )
-                    count = int(n_edges)
+                    stacked = np.asarray(
+                        _scan_resident_kernel(
+                            self._ph_dev, self._sizes_dev, ok_dev,
+                            jnp.int32(hamming_threshold), jnp.float32(size_ratio or 0.0),
+                            window=window, max_edges=cap, use_size=use_size,
+                            band_bits=self.band_bits, band_count=self.band_count,
+                        )
+                    )  # one transfer: rows = gi, gj, dist, count
+                    count = int(stacked[3, 0])
                     if count <= cap:
                         break
                     cap = int(2 ** np.ceil(np.log2(count + 1)))
-            with metrics.timer("dup.scan.download"):
-                gi = np.asarray(gi[:count]).astype(np.int64)
-                gj = np.asarray(gj[:count]).astype(np.int64)
-                d = np.asarray(d[:count]).astype(np.int64)
+            gi = stacked[0, :count].astype(np.int64)
+            gj = stacked[1, :count].astype(np.int64)
+            d = stacked[2, :count].astype(np.int64)
             out_i.append(np.minimum(gi, gj))
             out_j.append(np.maximum(gi, gj))
             out_d.append(d)
