@@ -55,7 +55,9 @@ def _resolve_tagger(settings: Settings):
 
 
 def _load_env(args) -> tuple[Settings, Path]:
-    settings = load_settings(args.config)
+    from kobato_eyes_tpu.core.config.service import apply_env_overrides
+
+    settings = apply_env_overrides(load_settings(args.config))
     paths = get_app_paths(args.data_dir or settings.data_dir).ensure()
     return settings, paths.db_path
 
@@ -226,6 +228,30 @@ def cmd_dup(args) -> int:
             clusters, mae_thr=r.mae_threshold, thumb_size=r.mae_size,
             io_workers=settings.pipeline.io_workers,
         )
+
+    if args.trash_duplicates:
+        # UI "trash checked" parity (dup_tab.py:816-836): non-keepers move to
+        # the data-dir trash (reversible) and their rows go absent.
+        from kobato_eyes_tpu.db.repository import mark_files_absent
+        from kobato_eyes_tpu.utils.fs import trash_file
+        from kobato_eyes_tpu.utils.paths import get_app_paths
+
+        trash_dir = get_app_paths(args.data_dir or settings.data_dir).root / "trash"
+        trashed_ids: list[int] = []
+        for cluster in clusters:
+            for entry in cluster.files:
+                if entry.file.file_id == cluster.keeper_id:
+                    continue
+                if trash_file(entry.file.path, trash_dir=trash_dir) is not None:
+                    trashed_ids.append(entry.file.file_id)
+        if trashed_ids:
+            conn = bootstrap(db)
+            try:
+                with conn:
+                    mark_files_absent(conn, trashed_ids)
+            finally:
+                conn.close()
+        print(f"trashed {len(trashed_ids)} duplicates -> {trash_dir}", file=sys.stderr)
 
     out_rows = []
     for ci, cluster in enumerate(clusters):
@@ -403,6 +429,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size-ratio", type=float)
     p.add_argument("--refine", action="store_true")
     p.add_argument("--export", help="CSV file or directory")
+    p.add_argument("--trash-duplicates", action="store_true",
+                   help="move non-keepers to the data-dir trash and mark absent")
     p.set_defaults(fn=cmd_dup)
 
     p = sub.add_parser("stats", help="per-tag statistics")

@@ -1,0 +1,43 @@
+"""CLI dup --trash-duplicates: non-keepers trashed + marked absent."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from kobato_eyes_tpu.cli import main
+from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+from kobato_eyes_tpu.utils.paths import get_app_paths
+
+pytestmark = pytest.mark.integration
+
+
+def test_trash_duplicates(tmp_path, image_dir):
+    reset_bootstrap_cache()
+    root, paths = image_dir
+    # make an exact duplicate of the first image (same pixels, new file)
+    dup_path = root / "dup_of_0.png"
+    shutil.copyfile(paths[0], dup_path)
+
+    data_dir = tmp_path / "data"
+    cfg = tmp_path / "settings.yaml"
+    cfg.write_text(f"pipeline:\n  roots: [{root}]\ntagger:\n  name: dummy\n")
+    base = ["--config", str(cfg), "--data-dir", str(data_dir)]
+
+    assert main([*base, "index"]) == 0
+    assert main([*base, "dup", "--hamming", "0", "--trash-duplicates"]) == 0
+
+    # exactly one of (original, copy) survives on disk; the other is in trash
+    survivors = [p for p in (paths[0], dup_path) if p.exists()]
+    assert len(survivors) == 1
+    trash = get_app_paths(data_dir).root / "trash"
+    assert len(list(trash.iterdir())) == 1
+
+    db = get_app_paths(data_dir).db_path
+    conn = bootstrap(db)
+    try:
+        absent = conn.execute("SELECT COUNT(*) FROM files WHERE is_present=0").fetchone()[0]
+        assert absent == 1
+    finally:
+        conn.close()
