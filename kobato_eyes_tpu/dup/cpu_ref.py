@@ -18,7 +18,7 @@ from kobato_eyes_tpu.dup.types import (
     DuplicateCluster,
     DuplicateFileMeta,
     DuplicateScanConfig,
-    assemble_clusters,
+    assemble_clusters_py,
 )
 from kobato_eyes_tpu.utils.bits import U64_MASK, hamming64_int
 
@@ -85,7 +85,9 @@ class CpuDuplicateScanner:
         self.last_funnel = funnel
 
         files_by_id = {f.file_id: f for f in candidates}
-        return assemble_clusters(
+        # reference-shaped assembly (Python DSU + tuple-key sorts): this class
+        # is the *baseline*, so it must not borrow the vectorized assembly.
+        return assemble_clusters_py(
             files_by_id, [(a, b, h) for (a, b), h in edges.items()]
         )
 
