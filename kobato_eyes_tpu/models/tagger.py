@@ -192,8 +192,26 @@ class JaxTagger:
             )
         )
         limits = resolve_limits(self.max_tags, max_tags)
+        import time as _time
+
+        from kobato_eyes_tpu.utils.metrics import metrics as _metrics
+
+        t0 = _time.perf_counter()
         probs = self.forward_probs(batch)
-        return self._select(probs, thr_vec, limits, thresholds)
+        probs.block_until_ready()
+        t1 = _time.perf_counter()
+        results = self._select(probs, thr_vec, limits, thresholds)
+        t2 = _time.perf_counter()
+        # per-batch timing line (reference wd14_onnx.py:464-472 `ort=…ms
+        # post=…ms imgs/s` instrumentation)
+        n = batch.shape[0]
+        _metrics.observe("tagger.infer", t1 - t0)
+        _metrics.observe("tagger.post", t2 - t1)
+        logger.debug(
+            "%s batch=%d infer=%.1fms post=%.1fms imgs/s=%.1f",
+            self.mode, n, (t1 - t0) * 1e3, (t2 - t1) * 1e3, n / max(t2 - t0, 1e-9),
+        )
+        return results
 
     def _select(
         self,
