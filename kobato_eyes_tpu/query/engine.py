@@ -21,6 +21,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Mapping, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,10 +69,13 @@ class TagIndexEpoch:
     tag_names: list[str]
     tag_cats: np.ndarray  # (T,) int32
     name_to_tid: dict[str, int]
-    # CSR postings, tag-major (device)
+    # CSR postings, tag-major (device + host mirrors; the host copy serves
+    # f64 relevance sums that must order exactly like SQLite's SUM)
     offsets: np.ndarray  # (T+1,) int64, host
     rows_dev: jnp.ndarray  # (nnz,) int32
     scores_dev: jnp.ndarray  # (nnz,) float32
+    rows_np: np.ndarray  # (nnz,) int32, host
+    scores_np: np.ndarray  # (nnz,) float64, host
     # per-category panels (device)
     cat_max_dev: jnp.ndarray  # (N, 6) float32, 0 where absent
     cat_present_dev: jnp.ndarray  # (N, 6) bool
@@ -128,6 +132,8 @@ def _assemble_epoch(
         offsets=offsets,
         rows_dev=jnp.asarray(r_idx.astype(np.int32)),
         scores_dev=jnp.asarray(sc.astype(np.float32)),
+        rows_np=r_idx.astype(np.int32),
+        scores_np=sc.astype(np.float64),
         cat_max_dev=jnp.asarray(cat_max),
         cat_present_dev=jnp.asarray(cat_present),
     )
@@ -143,7 +149,8 @@ def _fetch_file_tag_arrays(
     m = len(rows)
     fid = np.fromiter((r[0] for r in rows), dtype=np.int64, count=m)
     tid = np.fromiter((r[1] for r in rows), dtype=np.int64, count=m)
-    sc = np.fromiter((r[2] for r in rows), dtype=np.float32, count=m)
+    # f64: the host copy must sum relevance exactly like SQLite's SUM
+    sc = np.fromiter((r[2] for r in rows), dtype=np.float64, count=m)
     return fid, tid, sc
 
 
@@ -248,9 +255,9 @@ def update_epoch(
     name_pos = {n: i for i, n in enumerate(tag_names)}
     prev_tid_map = np.array([name_pos.get(n, -1) for n in prev.tag_names], dtype=np.int64)
 
-    # surviving postings from the previous epoch
-    prev_rows = np.asarray(prev.rows_dev)
-    prev_scores = np.asarray(prev.scores_dev)
+    # surviving postings from the previous epoch (host mirrors keep f64)
+    prev_rows = prev.rows_np
+    prev_scores = prev.scores_np
     prev_tids = np.repeat(
         np.arange(prev.num_tags, dtype=np.int64), np.diff(prev.offsets)
     )
@@ -274,7 +281,7 @@ def update_epoch(
         n_t = np.searchsorted(tag_db_ids, tid_db)
         t_idx = np.concatenate([s_t, n_t])
         r_idx = np.concatenate([s_rows, n_rows])
-        scores = np.concatenate([s_sc, sc.astype(np.float32)])
+        scores = np.concatenate([s_sc, sc])
     else:
         t_idx, r_idx, scores = s_t, s_rows, s_sc
 
@@ -295,66 +302,6 @@ def update_epoch(
 # ---------------------------------------------------------------------------
 
 
-def _tag_postings(epoch: TagIndexEpoch, tid: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    lo, hi = int(epoch.offsets[tid]), int(epoch.offsets[tid + 1])
-    return epoch.rows_dev[lo:hi], epoch.scores_dev[lo:hi]
-
-
-def _eval(expr: Expr, epoch: TagIndexEpoch, thr: dict[int, float] | None) -> jnp.ndarray:
-    """AST -> (N,) bool mask on device."""
-    n = epoch.num_files
-    if isinstance(expr, TagExpr):
-        tid = epoch.name_to_tid.get(expr.name)
-        if tid is None:
-            return jnp.zeros(n, dtype=bool)
-        rows, scores = _tag_postings(epoch, tid)
-        if thr is None:
-            hits = jnp.ones_like(scores, dtype=bool)
-        else:
-            hits = scores >= _case_gate(thr, int(epoch.tag_cats[tid]))
-        return jnp.zeros(n, dtype=bool).at[rows].max(hits)
-    if isinstance(expr, CategoryExpr):
-        cat = int(expr.category)
-        present = epoch.cat_present_dev[:, cat]
-        if thr is None:
-            return present
-        gate = thr.get(cat, 0.0)
-        return present & (epoch.cat_max_dev[:, cat] >= gate)
-    if isinstance(expr, ScoreExpr):
-        s = epoch.scores_dev
-        t = jnp.float32(expr.threshold)
-        pred = {
-            ">=": s >= t, "<=": s <= t, "=": s == t, ">": s > t, "<": s < t,
-        }[expr.op]
-        return jnp.zeros(n, dtype=bool).at[epoch.rows_dev].max(pred)
-    if isinstance(expr, NotExpr):
-        return ~_eval(expr.operand, epoch, thr)
-    if isinstance(expr, AndExpr):
-        return _eval(expr.left, epoch, thr) & _eval(expr.right, epoch, thr)
-    if isinstance(expr, OrExpr):
-        return _eval(expr.left, epoch, thr) | _eval(expr.right, epoch, thr)
-    raise TypeError(f"unhandled expression {expr!r}")
-
-
-def _relevance(
-    epoch: TagIndexEpoch, positive_tags: Sequence[str], thr: dict[int, float]
-) -> jnp.ndarray:
-    """Masked score sum over positive tags (reference repository.py:317-337).
-
-    Tag-name matching is exact like the SQL ``t.name IN (...)`` (SQLite
-    default BINARY collation); names arrive lowercased from the extractor.
-    """
-    rel = jnp.zeros(epoch.num_files, dtype=jnp.float32)
-    for name in positive_tags:
-        tid = epoch.name_to_tid.get(name)
-        if tid is None:
-            continue
-        rows, scores = _tag_postings(epoch, tid)
-        gate = _case_gate(thr, int(epoch.tag_cats[tid]))
-        rel = rel.at[rows].add(jnp.where(scores >= gate, scores, 0.0))
-    return rel
-
-
 @dataclass
 class DeviceSearchResult:
     file_id: int
@@ -364,6 +311,71 @@ class DeviceSearchResult:
 
 
 _ORDERINGS = ("relevance", "mtime", "path", "id")
+
+# (epoch.version, query, thr-key, with_rel) -> compiled single-dispatch eval
+_COMPILED_CACHE: dict[tuple, object] = {}
+_COMPILED_CACHE_CAP = 256
+
+
+def _compiled_eval(
+    epoch: TagIndexEpoch,
+    query: str,
+    expr: Expr | None,
+    thr: dict[int, float],
+    positive: Sequence[str],
+):
+    """One jitted program per (epoch, query): the whole mask + relevance
+    evaluation runs in a single device dispatch (term offsets and thresholds
+    are static and baked into the trace)."""
+    key = (
+        epoch.version,
+        id(epoch),  # a rebuilt epoch with the same version must not alias
+        query,
+        tuple(sorted(thr.items())),
+        tuple(positive),
+    )
+    fn = _COMPILED_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def build(rows_dev, scores_dev, cat_max_dev, cat_present_dev):
+        n = epoch.num_files
+
+        def ev(node: Expr) -> jnp.ndarray:
+            if isinstance(node, TagExpr):
+                tid = epoch.name_to_tid.get(node.name)
+                if tid is None:
+                    return jnp.zeros(n, dtype=bool)
+                lo, hi = int(epoch.offsets[tid]), int(epoch.offsets[tid + 1])
+                hits = scores_dev[lo:hi] >= _case_gate(thr, int(epoch.tag_cats[tid]))
+                return jnp.zeros(n, dtype=bool).at[rows_dev[lo:hi]].max(hits)
+            if isinstance(node, CategoryExpr):
+                cat = int(node.category)
+                return cat_present_dev[:, cat] & (
+                    cat_max_dev[:, cat] >= thr.get(cat, 0.0)
+                )
+            if isinstance(node, ScoreExpr):
+                s = scores_dev
+                t = jnp.float32(node.threshold)
+                pred = {
+                    ">=": s >= t, "<=": s <= t, "=": s == t, ">": s > t, "<": s < t,
+                }[node.op]
+                return jnp.zeros(n, dtype=bool).at[rows_dev].max(pred)
+            if isinstance(node, NotExpr):
+                return ~ev(node.operand)
+            if isinstance(node, AndExpr):
+                return ev(node.left) & ev(node.right)
+            if isinstance(node, OrExpr):
+                return ev(node.left) | ev(node.right)
+            raise TypeError(f"unhandled expression {node!r}")
+
+        return jnp.ones(n, dtype=bool) if expr is None else ev(expr)
+
+    fn = jax.jit(build)
+    if len(_COMPILED_CACHE) >= _COMPILED_CACHE_CAP:
+        _COMPILED_CACHE.clear()
+    _COMPILED_CACHE[key] = fn
+    return fn
 
 
 def search_epoch(
@@ -380,16 +392,25 @@ def search_epoch(
         raise ValueError(f"order_by must be one of {_ORDERINGS}")
     expr = parse_query(query)
     thr = normalize_thresholds(thresholds or {})
-    if expr is None:
-        mask = np.ones(epoch.num_files, dtype=bool)
-    else:
-        mask = np.asarray(_eval(expr, epoch, thr))
-
-    positive = extract_positive_tag_terms(query)
-    if positive and order_by == "relevance":
-        rel = np.asarray(_relevance(epoch, positive, thr))
-    else:
-        rel = np.zeros(epoch.num_files, dtype=np.float32)
+    positive = (
+        extract_positive_tag_terms(query) if order_by == "relevance" else []
+    )
+    # mask evaluation in one cached jitted dispatch
+    fn = _compiled_eval(epoch, query, expr, thr, positive)
+    mask = np.asarray(
+        fn(epoch.rows_dev, epoch.scores_dev, epoch.cat_max_dev, epoch.cat_present_dev)
+    )
+    # relevance in host f64 — ordering must match SQLite's f64 SUM exactly
+    rel = np.zeros(epoch.num_files, dtype=np.float64)
+    for name in positive:
+        tid = epoch.name_to_tid.get(name)
+        if tid is None:
+            continue
+        lo, hi = int(epoch.offsets[tid]), int(epoch.offsets[tid + 1])
+        gate = _case_gate(thr, int(epoch.tag_cats[tid]))
+        sc = epoch.scores_np[lo:hi]
+        hit = sc >= gate
+        np.add.at(rel, epoch.rows_np[lo:hi][hit], sc[hit])
 
     idx = np.nonzero(mask)[0]
     if idx.size == 0:

@@ -31,8 +31,8 @@ def save_epoch(epoch: TagIndexEpoch, path: str | Path) -> Path:
         mtimes=epoch.mtimes,
         tag_cats=epoch.tag_cats,
         offsets=epoch.offsets,
-        rows=np.asarray(epoch.rows_dev),
-        scores=np.asarray(epoch.scores_dev),
+        rows=epoch.rows_np,
+        scores64=epoch.scores_np,  # f64 host copy (exact relevance ordering)
         cat_max=np.asarray(epoch.cat_max_dev),
         cat_present=np.asarray(epoch.cat_present_dev),
     )
@@ -61,6 +61,7 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         raise ValueError(f"unsupported epoch snapshot format: {meta.get('format')}")
     arrays = np.load(base)
     tag_names = list(meta["tag_names"])
+    scores64 = arrays["scores64"]
     return TagIndexEpoch(
         version=int(meta["version"]),
         file_ids=arrays["file_ids"],
@@ -71,7 +72,9 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         name_to_tid={n: i for i, n in enumerate(tag_names)},
         offsets=arrays["offsets"],
         rows_dev=jnp.asarray(arrays["rows"]),
-        scores_dev=jnp.asarray(arrays["scores"]),
+        scores_dev=jnp.asarray(scores64.astype(np.float32)),
+        rows_np=arrays["rows"],
+        scores_np=scores64,
         cat_max_dev=jnp.asarray(arrays["cat_max"]),
         cat_present_dev=jnp.asarray(arrays["cat_present"]),
         built_at=float(meta["built_at"]),
