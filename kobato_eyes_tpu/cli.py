@@ -322,6 +322,33 @@ def cmd_thresholds(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Event-driven tagging: poll roots and tag files as they appear."""
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.core.watcher import ProcessingPipeline
+
+    roots = args.root or [str(r) for r in settings.pipeline.roots]
+    if not roots:
+        raise SystemExit("no roots; pass roots or set pipeline.roots")
+    tagger = _resolve_tagger(settings)
+
+    def on_result(path, result):
+        status = "ok" if result.tagged else f"skip ({result.reason})"
+        print(f"{status}: {path}", file=sys.stderr)
+
+    pipe = ProcessingPipeline(db, tagger, on_result=on_result)
+    pipe.start_polling(roots, interval=args.interval)
+    print(f"watching {len(roots)} root(s); Ctrl-C to stop", file=sys.stderr)
+    try:
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        pipe.stop()
+    return 0
+
+
 def cmd_config(args) -> int:
     settings = load_settings(args.config)
     if args.init:
@@ -447,6 +474,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("thresholds", help="get/set per-category search thresholds")
     p.add_argument("--set", action="append", metavar="CAT=VALUE")
     p.set_defaults(fn=cmd_thresholds)
+
+    p = sub.add_parser("watch", help="tag new files as they appear (polling)")
+    p.add_argument("root", nargs="*")
+    p.add_argument("--interval", type=float, default=2.0)
+    p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("config", help="show or init settings")
     p.add_argument("--init", action="store_true")

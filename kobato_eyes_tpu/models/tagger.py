@@ -63,6 +63,8 @@ class JaxTagger:
         labels: Sequence[TagMeta] | None = None,
         labels_path: str | Path | None = None,
         vit: ViTConfig | None = None,
+        swin: Any = None,  # SwinConfig overrides arch="swinv2"
+        arch: str = "vit",  # "vit" | "swinv2" (the WD14 family's actual arch)
         preset: str = "base",
         params: Any = None,
         checkpoint_path: str | Path | None = None,
@@ -84,7 +86,20 @@ class JaxTagger:
         self._tag_meta = {m.name: m for m in self.labels}
         self._name_to_idx = {m.name: i for i, m in enumerate(self.labels)}
 
-        self.cfg = vit or vit_config(preset, image_size=image_size, num_classes=len(self.labels))
+        if swin is not None:
+            self.arch = "swinv2"
+        elif vit is not None:
+            self.arch = "vit"
+        else:
+            self.arch = arch
+        if self.arch == "swinv2":
+            from kobato_eyes_tpu.models.swin import swin_config
+
+            self.cfg = swin or swin_config(
+                preset, image_size=image_size, num_classes=len(self.labels)
+            )
+        else:
+            self.cfg = vit or vit_config(preset, image_size=image_size, num_classes=len(self.labels))
         if self.cfg.num_classes != len(self.labels):
             raise ValueError(
                 f"model head ({self.cfg.num_classes}) != label count ({len(self.labels)})"
@@ -101,7 +116,14 @@ class JaxTagger:
         )
         self._cat_vec_dev = jnp.asarray(self.cats)
 
-        self._model = ViT(self.cfg)
+        if self.arch == "swinv2":
+            from kobato_eyes_tpu.models.swin import SwinV2, init_swin_params
+
+            self._model = SwinV2(self.cfg)
+            _init = init_swin_params
+        else:
+            self._model = ViT(self.cfg)
+            _init = init_params
         self._checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
         if params is not None:
             self.params = params
@@ -109,10 +131,10 @@ class JaxTagger:
             self.params = load_checkpoint(self._checkpoint_path)
         else:
             logger.info(
-                "tagger %s: random-init weights (%d labels, %s preset)",
-                self.mode, len(self.labels), preset,
+                "tagger %s: random-init weights (%d labels, %s/%s preset)",
+                self.mode, len(self.labels), self.arch, preset,
             )
-            self.params = init_params(self.cfg, seed=seed)
+            self.params = _init(self.cfg, seed=seed)
 
         # Multi-chip: partition params over the mesh (tensor-parallel rules
         # from parallel/mesh.py, replicated elsewhere); batches get sharded
@@ -137,7 +159,13 @@ class JaxTagger:
         label_digest = hashlib.sha256(
             "\n".join(f"{m.name}:{int(m.category)}" for m in self.labels).encode()
         ).hexdigest()[:16]
-        arch = f"vit-d{self.cfg.depth}-h{self.cfg.hidden_dim}-p{self.cfg.patch_size}-{self.cfg.image_size}"
+        if self.arch == "swinv2":
+            arch = (
+                f"swinv2-e{self.cfg.embed_dim}-d{'.'.join(map(str, self.cfg.depths))}"
+                f"-w{self.cfg.window_size}-{self.cfg.image_size}"
+            )
+        else:
+            arch = f"vit-d{self.cfg.depth}-h{self.cfg.hidden_dim}-p{self.cfg.patch_size}-{self.cfg.image_size}"
         return {
             "name": self.mode,
             "arch": arch,
