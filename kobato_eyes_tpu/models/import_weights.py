@@ -1,0 +1,139 @@
+"""Import pretrained tagger weights into the JAX models.
+
+The reference consumes ONNX black boxes; this engine runs native JAX
+forwards, so real deployments import weights once (timm/torch state dicts —
+the format WD14-family taggers are distributed in alongside their ONNX
+exports) and save an orbax checkpoint (``models/tagger.py:save_checkpoint``).
+
+Covers the ViT family (timm ``vit_*`` naming). The mapping is pure array
+reshaping — no torch ops — so the input can be a real ``torch.load`` state
+dict or any mapping of numpy arrays with the same keys.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Mapping
+
+import numpy as np
+
+from kobato_eyes_tpu.models.vit import ViTConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _np(x: Any) -> np.ndarray:
+    """torch.Tensor | np.ndarray -> np.ndarray (no torch import needed)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def vit_params_from_torch_state(
+    state: Mapping[str, Any], cfg: ViTConfig
+) -> dict:
+    """timm-style ViT state dict -> flax param tree for models/vit.ViT.
+
+    Expected keys (timm ``VisionTransformer``):
+      patch_embed.proj.{weight,bias}, cls_token, pos_embed,
+      blocks.N.norm1.{weight,bias}, blocks.N.attn.qkv.{weight,bias},
+      blocks.N.attn.proj.{weight,bias}, blocks.N.norm2.{weight,bias},
+      blocks.N.mlp.fc1.{weight,bias}, blocks.N.mlp.fc2.{weight,bias},
+      norm.{weight,bias}, head.{weight,bias}
+    """
+    d = cfg.hidden_dim
+    heads = cfg.num_heads
+    hd = d // heads
+    p = cfg.patch_size
+
+    def get(key: str) -> np.ndarray:
+        if key not in state:
+            raise KeyError(f"missing weight {key!r}")
+        return _np(state[key])
+
+    # patch embed: conv (D, C, P, P) -> dense kernel (P*P*C, D) matching our
+    # reshape order (rows: (py, px, c))
+    w = get("patch_embed.proj.weight")  # (D, C, P, P)
+    patch_kernel = w.transpose(2, 3, 1, 0).reshape(p * p * 3, d)
+    patch_bias = get("patch_embed.proj.bias")
+
+    cls = get("cls_token").reshape(1, 1, d)
+    pos = get("pos_embed")
+    want_tokens = cfg.num_patches + 1
+    if pos.shape[1] != want_tokens:
+        raise ValueError(
+            f"pos_embed has {pos.shape[1]} tokens, model expects {want_tokens} "
+            f"(interpolation not implemented)"
+        )
+
+    # per-layer stacks (our block stack is nn.scan'd: leading depth axis)
+    stacks: dict[str, list[np.ndarray]] = {}
+
+    def push(name: str, arr: np.ndarray) -> None:
+        stacks.setdefault(name, []).append(arr)
+
+    for i in range(cfg.depth):
+        pre = f"blocks.{i}."
+        push("ln1/scale", get(pre + "norm1.weight"))
+        push("ln1/bias", get(pre + "norm1.bias"))
+        qkv_w = get(pre + "attn.qkv.weight")  # (3D, D)
+        push("qkv/kernel", qkv_w.T.reshape(d, 3, heads, hd))
+        push("qkv/bias", get(pre + "attn.qkv.bias").reshape(3, heads, hd))
+        proj_w = get(pre + "attn.proj.weight")  # (D, D) = (out, in)
+        push("proj/kernel", proj_w.T.reshape(heads, hd, d))
+        push("proj/bias", get(pre + "attn.proj.bias"))
+        push("ln2/scale", get(pre + "norm2.weight"))
+        push("ln2/bias", get(pre + "norm2.bias"))
+        push("fc1/kernel", get(pre + "mlp.fc1.weight").T)
+        push("fc1/bias", get(pre + "mlp.fc1.bias"))
+        push("fc2/kernel", get(pre + "mlp.fc2.weight").T)
+        push("fc2/bias", get(pre + "mlp.fc2.bias"))
+
+    def stacked(name: str) -> np.ndarray:
+        return np.stack(stacks[name]).astype(np.float32)
+
+    params: dict = {
+        "patch_embed": {"kernel": patch_kernel.astype(np.float32),
+                        "bias": patch_bias.astype(np.float32)},
+        "cls": cls.astype(np.float32),
+        "pos_embed": pos.astype(np.float32),
+        "blocks": {
+            "block": {
+                "attn": {
+                    "qkv": {"kernel": stacked("qkv/kernel"), "bias": stacked("qkv/bias")},
+                    "proj": {"kernel": stacked("proj/kernel"), "bias": stacked("proj/bias")},
+                },
+                "ln1": {"scale": stacked("ln1/scale"), "bias": stacked("ln1/bias")},
+                "ln2": {"scale": stacked("ln2/scale"), "bias": stacked("ln2/bias")},
+                "fc1": {"kernel": stacked("fc1/kernel"), "bias": stacked("fc1/bias")},
+                "fc2": {"kernel": stacked("fc2/kernel"), "bias": stacked("fc2/bias")},
+            }
+        },
+        "ln_final": {
+            "scale": _np(state["norm.weight"]).astype(np.float32),
+            "bias": _np(state["norm.bias"]).astype(np.float32),
+        },
+    }
+    if "head.weight" in state:
+        params["head"] = {
+            "kernel": _np(state["head.weight"]).T.astype(np.float32),
+            "bias": _np(state["head.bias"]).astype(np.float32),
+        }
+    else:
+        logger.warning("state dict has no classifier head; head left random")
+    return params
+
+
+def import_torch_checkpoint(path: str, cfg: ViTConfig) -> dict:
+    """Load a .pth/.pt/.safetensors file and convert (torch required)."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file  # type: ignore[import-not-found]
+
+        state = load_file(path)
+    else:
+        import torch
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+    return vit_params_from_torch_state(state, cfg)

@@ -180,13 +180,13 @@ class SwinBlock(nn.Module):
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         # SwinV2 post-norm residuals
-        x = shortcut + nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm1")(x)
+        x = shortcut + nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm1")(x)
 
         shortcut = x
         hdn = nn.Dense(int(c * cfg.mlp_ratio), dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
-        hdn = nn.gelu(hdn)
+        hdn = nn.gelu(hdn, approximate=False)
         hdn = nn.Dense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(hdn)
-        return shortcut + nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm2")(hdn)
+        return shortcut + nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm2")(hdn)
 
 
 class PatchMerging(nn.Module):
@@ -199,7 +199,7 @@ class PatchMerging(nn.Module):
         x = x.reshape(b, h // 2, w // 2, 4 * c)
         x = nn.Dense(2 * c, use_bias=False, dtype=self.cfg.dtype,
                      param_dtype=self.cfg.param_dtype, name="reduction")(x)
-        return nn.LayerNorm(dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype, name="norm")(x)
 
 
 class SwinV2(nn.Module):
@@ -218,7 +218,7 @@ class SwinV2(nn.Module):
         x = x.reshape(b, h // p, p, w // p, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * c)
         x = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="patch_norm")(x)
 
         for stage, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
             grid = cfg.grid(stage)
@@ -228,7 +228,7 @@ class SwinV2(nn.Module):
             if stage < cfg.num_stages - 1:
                 x = PatchMerging(cfg, name=f"merge{stage}")(x)
 
-        x = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm_final")(x)
         feat = jnp.mean(x, axis=(1, 2))
         if features_only:
             return feat

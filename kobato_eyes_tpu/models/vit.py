@@ -102,11 +102,11 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
         x = x + Attention(cfg, name="attn")(ln("ln1")(x))
         h = ln("ln2")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
         return x + h
 
@@ -163,7 +163,7 @@ class ViT(nn.Module):
             length=cfg.depth,
         )
         x, _ = scan(cfg, name="blocks")(x, None)
-        x = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ln_final")(x)
         if cfg.pool == "cls":
             feat = x[:, 0]
         else:

@@ -20,6 +20,20 @@ import pytest
 from PIL import Image
 
 
+@pytest.fixture(autouse=True)
+def _no_quiesce_leak():
+    """Fail any test that leaks the quiesce gate (reference
+    tests/conftest.py:17-26 discipline)."""
+    from kobato_eyes_tpu.db import connection
+
+    assert not connection.is_quiesced(), "quiesce leaked from a previous test"
+    yield
+    leaked = connection.is_quiesced()
+    if leaked:
+        connection.end_quiesce()
+    assert not leaked, "test leaked the quiesce gate"
+
+
 @pytest.fixture(scope="session")
 def rng() -> np.random.Generator:
     return np.random.default_rng(0)
