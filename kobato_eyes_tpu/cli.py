@@ -372,17 +372,31 @@ def cmd_ann(args) -> int:
 
     paths = get_app_paths(args.data_dir or settings.data_dir).ensure()
     graph_path = paths.index_dir / "clip.hnsw"
-    embedder = ImageEmbedder()
+    idx_cfg = settings.index
+    embedder = ImageEmbedder(
+        preset=idx_cfg.preset, image_size=idx_cfg.image_size,
+        patch_size=idx_cfg.patch_size, embed_dim=idx_cfg.embed_dim,
+        checkpoint_path=idx_cfg.checkpoint,
+    )
 
     if args.build:
+        from kobato_eyes_tpu.core.pipeline.embed_stage import load_embeddings
+
         conn = bootstrap(db)
         try:
+            # prefer embeddings persisted by the embed stage (index.enabled)
+            stored_ids, stored_vecs = load_embeddings(conn)
             rows = conn.execute(
                 "SELECT id, path FROM files WHERE is_present = 1 ORDER BY id"
             ).fetchall()
         finally:
             conn.close()
         index = HnswIndex(dim=embedder.embed_dim)
+        if len(stored_ids) and stored_vecs.shape[1] == embedder.embed_dim:
+            index.add(stored_vecs, stored_ids)
+            done = set(stored_ids.tolist())
+            rows = [r for r in rows if int(r["id"]) not in done]
+            print(f"{len(stored_ids)} stored embeddings loaded", file=sys.stderr)
         batch: list = []
         ids: list[int] = []
         for r in rows:

@@ -77,6 +77,17 @@ class RefineSettings(BaseModel):
     orb_threshold: float = 0.15
 
 
+class IndexSettings(BaseModel):
+    """ANN vector path (activates the reference's dormant src/index stub)."""
+
+    enabled: bool = False
+    embed_dim: int = 512
+    preset: str = "base"
+    image_size: int = 224
+    patch_size: int = 32
+    checkpoint: Path | None = None
+
+
 class MeshSettings(BaseModel):
     """Device-mesh layout for multi-chip runs."""
 
@@ -121,5 +132,6 @@ class Settings(BaseModel):
     tagger: TaggerSettings = Field(default_factory=TaggerSettings)
     dup: DupSettings = Field(default_factory=DupSettings)
     refine: RefineSettings = Field(default_factory=RefineSettings)
+    index: IndexSettings = Field(default_factory=IndexSettings)
     mesh: MeshSettings = Field(default_factory=MeshSettings)
     data_dir: Path | None = None

@@ -1,0 +1,150 @@
+"""Embed stage: CLIP-style vectors for ANN, computed during indexing.
+
+Activates the reference's dormant vector path (``src/index/`` stub) as a
+first-class pipeline stage: new/changed files get an embedding in the same
+pass that tags them, stored in the catalog's ``embeddings`` table; the ANN
+index (``index/hnsw.py`` / ``index/ivf.py``) builds from those vectors
+without re-decoding the library.
+"""
+
+from __future__ import annotations
+
+import logging
+import sqlite3
+import time
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import numpy as np
+
+from kobato_eyes_tpu.core.pipeline.contracts import FileRecord
+from kobato_eyes_tpu.core.pipeline.loaders import PrefetchLoader
+from kobato_eyes_tpu.core.progress import IndexPhase, IndexProgress, ProgressEmitter
+
+logger = logging.getLogger(__name__)
+
+EMBED_MODEL_NAME = "clip-vit"  # catalog key (embeddings.model column)
+
+
+@dataclass
+class EmbedStageResult:
+    embedded: int = 0
+    failed: int = 0
+    elapsed_sec: float = 0.0
+
+
+def store_embeddings(
+    conn: sqlite3.Connection,
+    rows: Sequence[tuple[int, np.ndarray]],
+    *,
+    model: str = EMBED_MODEL_NAME,
+) -> None:
+    conn.executemany(
+        """
+        INSERT INTO embeddings (file_id, model, dim, vector) VALUES (?, ?, ?, ?)
+        ON CONFLICT(file_id, model) DO UPDATE SET
+            dim = excluded.dim, vector = excluded.vector
+        """,
+        [
+            (fid, model, int(v.shape[0]), np.asarray(v, np.float32).tobytes())
+            for fid, v in rows
+        ],
+    )
+
+
+def load_embeddings(
+    conn: sqlite3.Connection, *, model: str = EMBED_MODEL_NAME
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (file_ids (N,), vectors (N, D)) for present files."""
+    rows = conn.execute(
+        """
+        SELECT e.file_id, e.dim, e.vector FROM embeddings e
+        JOIN files f ON f.id = e.file_id
+        WHERE e.model = ? AND f.is_present = 1 ORDER BY e.file_id
+        """,
+        (model,),
+    ).fetchall()
+    if not rows:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float32)
+    dim = int(rows[0][1])
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    vecs = np.stack([np.frombuffer(r[2], dtype=np.float32, count=dim) for r in rows])
+    return ids, vecs
+
+
+def missing_embedding_records(
+    conn: sqlite3.Connection, records: Sequence[FileRecord], *, model: str = EMBED_MODEL_NAME
+) -> list[FileRecord]:
+    ids = [r.file_id for r in records]
+    have: set[int] = set()
+    for start in range(0, len(ids), 900):
+        chunk = ids[start : start + 900]
+        ph = ",".join("?" * len(chunk))
+        have.update(
+            int(r[0])
+            for r in conn.execute(
+                f"SELECT file_id FROM embeddings WHERE model = ? AND file_id IN ({ph})",
+                [model, *chunk],
+            )
+        )
+    return [r for r in records if r.file_id not in have]
+
+
+class EmbedStage:
+    """Prefetch-loaded batches through the image embedder into the catalog."""
+
+    def __init__(
+        self,
+        embedder,  # index.embedder.ImageEmbedder
+        *,
+        batch_size: int = 32,
+        io_workers: int = 8,
+        model: str = EMBED_MODEL_NAME,
+        is_cancelled: Callable[[], bool] | None = None,
+    ) -> None:
+        self._embedder = embedder
+        self._batch_size = batch_size
+        self._io_workers = io_workers
+        self._model = model
+        self._is_cancelled = is_cancelled or (lambda: False)
+
+    def run(
+        self,
+        conn: sqlite3.Connection,
+        records: Sequence[FileRecord],
+        progress: ProgressEmitter,
+    ) -> EmbedStageResult:
+        t0 = time.perf_counter()
+        todo = missing_embedding_records(conn, list(records), model=self._model)
+        result = EmbedStageResult()
+        if not todo:
+            return result
+        progress.phase(IndexPhase.PREPARE, 0, len(todo), "embedding")
+        loader = PrefetchLoader(
+            todo,
+            prepare=self._embedder.prepare_batch_from_rgb,
+            batch_size=self._batch_size,
+            io_workers=self._io_workers,
+            is_cancelled=self._is_cancelled,
+        )
+        done = 0
+        for batch in loader:
+            if self._is_cancelled():
+                break
+            vectors = self._embedder.embed_batch_prepared(batch.pixels)
+            with conn:
+                store_embeddings(
+                    conn,
+                    [(r.file_id, v) for r, v in zip(batch.records, vectors)],
+                    model=self._model,
+                )
+            result.embedded += len(batch.records)
+            done += len(batch.records)
+            progress.emit(IndexProgress(IndexPhase.PREPARE, done, len(todo), "embedding"))
+        result.failed = sum(1 for r in todo if r.failed)
+        result.elapsed_sec = time.perf_counter() - t0
+        logger.info(
+            "embed: %d embedded, %d failed in %.2fs",
+            result.embedded, result.failed, result.elapsed_sec,
+        )
+        return result

@@ -134,6 +134,29 @@ class IndexPipeline:
         stats.tag_failed = tag_result.failed
         stats.skipped = tag_result.skipped
 
+        # EMBED (optional ANN vector path; reference's src/index activation)
+        if self._settings.index.enabled and not self._is_cancelled():
+            from kobato_eyes_tpu.core.pipeline.embed_stage import EmbedStage
+            from kobato_eyes_tpu.index.embedder import ImageEmbedder
+
+            idx_cfg = self._settings.index
+            embedder = ImageEmbedder(
+                preset=idx_cfg.preset, image_size=idx_cfg.image_size,
+                patch_size=idx_cfg.patch_size, embed_dim=idx_cfg.embed_dim,
+                checkpoint_path=idx_cfg.checkpoint,
+            )
+            conn = bootstrap(self._db_path)
+            try:
+                embed_result = EmbedStage(
+                    embedder,
+                    batch_size=self._settings.pipeline.batch_size,
+                    io_workers=self._settings.pipeline.io_workers,
+                    is_cancelled=self._is_cancelled,
+                ).run(conn, scan.records, self._progress)
+                stats.extra["embedded"] = embed_result.embedded
+            finally:
+                conn.close()
+
         # EPOCH swap (the reference's offline FTS rebuild, device edition).
         # Incremental when an epoch is already live: only tagged + vanished
         # files are re-read (delta build), else a full snapshot.
