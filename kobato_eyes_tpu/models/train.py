@@ -42,14 +42,21 @@ def bce_loss(logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float = 0.0) -
 
 
 def make_train_step(
-    vit_cfg: ViTConfig,
+    vit_cfg: ViTConfig | None,
     spec: PreprocessSpec,
     train_cfg: TrainConfig = TrainConfig(),
+    *,
+    model: Any = None,
 ):
     """Returns ``step(params, opt_state, batch_u8, labels) -> (params,
     opt_state, loss)``; shard inputs/params before calling and jit does the
-    rest (GSPMD partitioning)."""
-    model = ViT(vit_cfg)
+    rest (GSPMD partitioning).
+
+    Pass ``model`` explicitly to fine-tune any backbone (SwinV2, the CLIP
+    encoder, ...); otherwise a ViT is built from ``vit_cfg``.
+    """
+    if model is None:
+        model = ViT(vit_cfg)
     tx = make_optimizer(train_cfg)
 
     def loss_fn(params: Any, batch_u8: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

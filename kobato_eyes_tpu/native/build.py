@@ -35,14 +35,18 @@ def load_native_library(name: str) -> ctypes.CDLL:
         if not src.exists():
             raise FileNotFoundError(src)
         if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            # build to a temp path and rename: processes holding the old .so
+            # mapped keep the old inode (in-place overwrite would corrupt them)
+            tmp = so.with_suffix(".tmp.so")
             cmd = [
-                "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-                str(src), "-o", str(so),
+                "g++", "-O3", "-march=native", "-funroll-loops", "-ffast-math",
+                "-std=c++17", "-shared", "-fPIC", str(src), "-o", str(tmp),
             ]
             logger.info("building native component: %s", " ".join(cmd))
             proc = subprocess.run(cmd, capture_output=True, text=True)
             if proc.returncode != 0:
                 raise NativeBuildError(f"g++ failed for {name}:\n{proc.stderr}")
+            tmp.replace(so)
         lib = ctypes.CDLL(str(so))
         _CACHE[name] = lib
         return lib

@@ -12,12 +12,16 @@
 // Similarity is inner product over caller-normalized vectors (cosine).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -48,43 +52,42 @@ class HnswIndex {
     int dim() const { return dim_; }
 
     int32_t add(const float* vec, int64_t id) {
-        const int32_t node = static_cast<int32_t>(ids_.size());
-        const int level = sample_level();
-        ids_.push_back(id);
-        levels_.push_back(level);
-        vectors_.insert(vectors_.end(), vec, vec + dim_);
-        links_.emplace_back();
-        links_.back().resize(level + 1);
-
-        if (node == 0) {
-            entry_ = 0;
-            max_level_ = level;
-            return node;
-        }
-
-        int32_t cur = entry_;
-        // greedy descent through layers above the new node's level
-        for (int lc = max_level_; lc > level; --lc) cur = greedy_closest(vec, cur, lc);
-
-        // insert at each layer from min(level, max_level_) down to 0
-        for (int lc = std::min(level, max_level_); lc >= 0; --lc) {
-            auto cands = search_layer(vec, cur, ef_construction_, lc);
-            const int m = (lc == 0) ? max_m0_ : max_m_;
-            auto selected = select_neighbors(cands, M_);
-            auto& my_links = links_[node][lc];
-            for (const auto& c : selected) {
-                my_links.push_back(c.node);
-                auto& their = links_[c.node][lc];
-                their.push_back(node);
-                if (static_cast<int>(their.size()) > m) shrink(c.node, lc, m);
-            }
-            if (!selected.empty()) cur = selected.front().node;
-        }
-        if (level > max_level_) {
-            max_level_ = level;
-            entry_ = node;
-        }
+        const int32_t node = reserve_node(vec, id);
+        link_node(node);
         return node;
+    }
+
+    void add_batch_parallel(const float* vecs, const int64_t* ids, int64_t n) {
+        if (n <= 0) return;
+        int64_t i0 = 0;
+        if (ids_.empty()) {  // seed the graph sequentially
+            add(vecs, ids[0]);
+            i0 = 1;
+        }
+        const int64_t remaining = n - i0;
+        if (remaining <= 0) return;
+        std::vector<int32_t> nodes(remaining);
+        for (int64_t i = 0; i < remaining; ++i)
+            nodes[i] = reserve_node(vecs + (i0 + i) * dim_, ids[i0 + i]);
+        unsigned hw = std::thread::hardware_concurrency();
+        const int n_threads = std::max(1u, std::min(hw ? hw : 1u, 16u));
+        if (n_threads == 1 || remaining < 64) {
+            for (int32_t node : nodes) link_node(node);
+            return;
+        }
+        std::atomic<int64_t> cursor{0};
+        std::vector<std::thread> workers;
+        workers.reserve(n_threads);
+        for (int t = 0; t < n_threads; ++t) {
+            workers.emplace_back([&] {
+                while (true) {
+                    const int64_t i = cursor.fetch_add(1);
+                    if (i >= remaining) break;
+                    link_node(nodes[i]);
+                }
+            });
+        }
+        for (auto& w : workers) w.join();
     }
 
     int search(const float* query, int k, int ef, int64_t* out_ids, float* out_scores) const {
@@ -107,12 +110,14 @@ class HnswIndex {
         if (!f) return false;
         const uint32_t magic = 0x48534E57;  // "WNSH"
         const int64_t n = size();
+        const int32_t entry_v = entry_.load();
+        const int max_level_v = max_level_.load();
         std::fwrite(&magic, 4, 1, f);
         std::fwrite(&dim_, 4, 1, f);
         std::fwrite(&M_, 4, 1, f);
         std::fwrite(&ef_construction_, 4, 1, f);
-        std::fwrite(&entry_, 4, 1, f);
-        std::fwrite(&max_level_, 4, 1, f);
+        std::fwrite(&entry_v, 4, 1, f);
+        std::fwrite(&max_level_v, 4, 1, f);
         std::fwrite(&n, 8, 1, f);
         std::fwrite(ids_.data(), 8, n, f);
         std::fwrite(levels_.data(), 4, n, f);
@@ -135,17 +140,22 @@ class HnswIndex {
         if (!f) return false;
         uint32_t magic = 0;
         int64_t n = 0;
+        int32_t entry_v = -1;
+        int max_level_v = -1;
         bool ok = std::fread(&magic, 4, 1, f) == 1 && magic == 0x48534E57 &&
                   std::fread(&dim_, 4, 1, f) == 1 && std::fread(&M_, 4, 1, f) == 1 &&
                   std::fread(&ef_construction_, 4, 1, f) == 1 &&
-                  std::fread(&entry_, 4, 1, f) == 1 && std::fread(&max_level_, 4, 1, f) == 1 &&
+                  std::fread(&entry_v, 4, 1, f) == 1 && std::fread(&max_level_v, 4, 1, f) == 1 &&
                   std::fread(&n, 8, 1, f) == 1;
         if (ok) {
+            entry_.store(entry_v);
+            max_level_.store(max_level_v);
             max_m_ = M_;
             max_m0_ = 2 * M_;
             ids_.resize(n);
             levels_.resize(n);
             vectors_.resize(n * dim_);
+            locks_.resize(n);
             ok = std::fread(ids_.data(), 8, n, f) == static_cast<size_t>(n) &&
                  std::fread(levels_.data(), 4, n, f) == static_cast<size_t>(n) &&
                  std::fread(vectors_.data(), 4, n * dim_, f) == static_cast<size_t>(n * dim_);
@@ -167,11 +177,20 @@ class HnswIndex {
     }
 
   private:
-    float sim(const float* a, int32_t node) const {
-        const float* b = vectors_.data() + static_cast<size_t>(node) * dim_;
-        float acc = 0.f;
-        for (int i = 0; i < dim_; ++i) acc += a[i] * b[i];
-        return acc;
+    float sim(const float* __restrict a, int32_t node) const {
+        const float* __restrict b = vectors_.data() + static_cast<size_t>(node) * dim_;
+        // four accumulators so the compiler vectorizes + pipelines the FMA
+        float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f, acc3 = 0.f;
+        int i = 0;
+        const int limit = dim_ - (dim_ % 4);
+        for (; i < limit; i += 4) {
+            acc0 += a[i] * b[i];
+            acc1 += a[i + 1] * b[i + 1];
+            acc2 += a[i + 2] * b[i + 2];
+            acc3 += a[i + 3] * b[i + 3];
+        }
+        for (; i < dim_; ++i) acc0 += a[i] * b[i];
+        return (acc0 + acc1) + (acc2 + acc3);
     }
 
     int sample_level() {
@@ -181,13 +200,78 @@ class HnswIndex {
         return static_cast<int>(-std::log(r) * level_mult_);
     }
 
+    // allocate storage for a node (sequential; structure mutations only)
+    int32_t reserve_node(const float* vec, int64_t id) {
+        std::lock_guard<std::mutex> g(global_);
+        const int32_t node = static_cast<int32_t>(ids_.size());
+        const int level = sample_level();
+        ids_.push_back(id);
+        levels_.push_back(level);
+        vectors_.insert(vectors_.end(), vec, vec + dim_);
+        links_.emplace_back();
+        links_.back().resize(level + 1);
+        locks_.emplace_back();
+        if (node == 0) {
+            entry_ = 0;
+            max_level_ = level;
+        }
+        return node;
+    }
+
+    // wire a reserved node into the graph (safe to run concurrently)
+    void link_node(int32_t node) {
+        if (node == 0) return;
+        const float* vec = vectors_.data() + static_cast<size_t>(node) * dim_;
+        const int level = levels_[node];
+
+        std::unique_lock<std::mutex> promote;
+        if (level > max_level_.load()) {
+            // level promotions serialize the whole insert (rare; hnswlib does
+            // the same) so entry_/max_level_ stay consistent
+            promote = std::unique_lock<std::mutex>(promote_);
+        }
+        int32_t cur = entry_.load();
+        const int top = max_level_.load();
+        for (int lc = top; lc > level; --lc) cur = greedy_closest(vec, cur, lc);
+
+        for (int lc = std::min(level, top); lc >= 0; --lc) {
+            auto cands = search_layer(vec, cur, ef_construction_, lc);
+            const int m = (lc == 0) ? max_m0_ : max_m_;
+            auto selected = select_neighbors(cands, M_);
+            {
+                std::lock_guard<std::mutex> g(locks_[node]);
+                auto& my_links = links_[node][lc];
+                for (const auto& c : selected) my_links.push_back(c.node);
+            }
+            for (const auto& c : selected) {
+                std::lock_guard<std::mutex> g(locks_[c.node]);
+                if (lc >= static_cast<int>(links_[c.node].size())) continue;
+                auto& their = links_[c.node][lc];
+                their.push_back(node);
+                if (static_cast<int>(their.size()) > m) shrink_locked(c.node, lc, m);
+            }
+            if (!selected.empty()) cur = selected.front().node;
+        }
+        if (level > max_level_.load()) {
+            max_level_.store(level);
+            entry_.store(node);
+        }
+    }
+
+    std::vector<int32_t> neighbors(int32_t node, int level) const {
+        std::lock_guard<std::mutex> g(locks_[node]);
+        const auto& ls = links_[node];
+        if (level >= static_cast<int>(ls.size())) return {};
+        return ls[level];
+    }
+
     int32_t greedy_closest(const float* q, int32_t start, int level) const {
         int32_t cur = start;
         float best = sim(q, cur);
         bool improved = true;
         while (improved) {
             improved = false;
-            for (int32_t nb : links_[cur][level]) {
+            for (int32_t nb : neighbors(cur, level)) {
                 const float s = sim(q, nb);
                 if (s > best) {
                     best = s;
@@ -200,21 +284,28 @@ class HnswIndex {
     }
 
     std::vector<Candidate> search_layer(const float* q, int32_t entry, int ef, int level) const {
-        visit_epoch_++;
-        if (visited_.size() < ids_.size()) visited_.resize(ids_.size(), 0);
+        // per-thread visited marks (concurrent inserts/searches)
+        thread_local std::vector<uint32_t> visited;
+        thread_local uint32_t epoch = 0;
+        const size_t n = ids_.size();
+        if (visited.size() < n) visited.resize(n, 0);
+        if (++epoch == 0) {  // wrapped: clear and restart
+            std::fill(visited.begin(), visited.end(), 0);
+            epoch = 1;
+        }
         std::priority_queue<Candidate, std::vector<Candidate>, BySimDesc> frontier;
         std::priority_queue<Candidate, std::vector<Candidate>, BySimAsc> best;  // worst on top
         const float s0 = sim(q, entry);
         frontier.push({s0, entry});
         best.push({s0, entry});
-        visited_[entry] = visit_epoch_;
+        visited[entry] = epoch;
         while (!frontier.empty()) {
             Candidate c = frontier.top();
             frontier.pop();
             if (static_cast<int>(best.size()) >= ef && c.sim < best.top().sim) break;
-            for (int32_t nb : links_[c.node][level]) {
-                if (visited_[nb] == visit_epoch_) continue;
-                visited_[nb] = visit_epoch_;
+            for (int32_t nb : neighbors(c.node, level)) {
+                if (static_cast<size_t>(nb) >= visited.size() || visited[nb] == epoch) continue;
+                visited[nb] = epoch;
                 const float s = sim(q, nb);
                 if (static_cast<int>(best.size()) < ef || s > best.top().sim) {
                     frontier.push({s, nb});
@@ -260,7 +351,8 @@ class HnswIndex {
         return selected;
     }
 
-    void shrink(int32_t node, int level, int m) {
+    // caller must hold locks_[node]
+    void shrink_locked(int32_t node, int level, int m) {
         auto& layer = links_[node][level];
         const float* v = vectors_.data() + static_cast<size_t>(node) * dim_;
         std::vector<Candidate> cands;
@@ -278,14 +370,15 @@ class HnswIndex {
     int ef_construction_;
     double level_mult_;
     std::mt19937 rng_;
-    int32_t entry_ = -1;
-    int max_level_ = -1;
+    std::atomic<int32_t> entry_{-1};
+    std::atomic<int> max_level_{-1};
     std::vector<int64_t> ids_;
     std::vector<int> levels_;
     std::vector<float> vectors_;
     std::vector<std::vector<std::vector<int32_t>>> links_;
-    mutable std::vector<uint32_t> visited_;
-    mutable uint32_t visit_epoch_ = 0;
+    mutable std::deque<std::mutex> locks_;  // per-node; deque: grows w/o moving
+    std::mutex global_;   // structure growth (reserve phase)
+    std::mutex promote_;  // level-promotion serialization
 };
 
 }  // namespace
@@ -304,8 +397,7 @@ int hnsw_dim(void* h) { return static_cast<HnswIndex*>(h)->dim(); }
 
 void hnsw_add_batch(void* h, const float* vecs, const int64_t* ids, int64_t n) {
     auto* idx = static_cast<HnswIndex*>(h);
-    const int d = idx->dim();
-    for (int64_t i = 0; i < n; ++i) idx->add(vecs + i * d, ids[i]);
+    idx->add_batch_parallel(vecs, ids, n);
 }
 
 void hnsw_search_batch(void* h, const float* queries, int64_t nq, int k, int ef,

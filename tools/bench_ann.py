@@ -20,12 +20,19 @@ import numpy as np
 
 
 def synth_embeddings(n: int, dim: int, n_clusters: int = 1024, seed: int = 0):
+    """Clustered unit vectors with dimension-scaled noise.
+
+    Per-coordinate noise must scale ~1/sqrt(dim) or the noise norm swamps the
+    unit centers at high dim and the data degenerates to uniform-on-sphere
+    (where no ANN structure can work and recall@k is meaningless).
+    """
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    noise = 0.35 / np.sqrt(dim)
     assign = rng.integers(0, n_clusters, size=n)
-    vecs = centers[assign] + 0.25 * rng.normal(size=(n, dim)).astype(np.float32)
-    queries = centers[rng.integers(0, n_clusters, size=256)] + 0.25 * rng.normal(
+    vecs = centers[assign] + noise * rng.normal(size=(n, dim)).astype(np.float32)
+    queries = centers[rng.integers(0, n_clusters, size=256)] + noise * rng.normal(
         size=(256, dim)
     ).astype(np.float32)
     return vecs.astype(np.float32), queries.astype(np.float32)
@@ -38,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--nprobe", type=int, default=16)
     parser.add_argument("--ef", type=int, default=100)
+    parser.add_argument("--ef-construction", type=int, default=100)
     args = parser.parse_args(argv)
 
     from kobato_eyes_tpu.index.flat import FlatIndex
@@ -68,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # HNSW (native C++)
     t0 = time.perf_counter()
-    hnsw = HnswIndex(dim=args.dim, M=16, ef_construction=200)
+    hnsw = HnswIndex(dim=args.dim, M=16, ef_construction=args.ef_construction)
     hnsw.add(vecs)
     hnsw_build = time.perf_counter() - t0
     t0 = time.perf_counter()
