@@ -38,9 +38,13 @@ def load_native_library(name: str) -> ctypes.CDLL:
             # build to a temp path and rename: processes holding the old .so
             # mapped keep the old inode (in-place overwrite would corrupt them)
             tmp = so.with_suffix(".tmp.so")
+            # NOTE: no -ffast-math — loading a shared object built with it
+            # flips FTZ/DAZ in the whole process's FP state (crtfastmath),
+            # silently breaking subnormal arithmetic for every other library.
             cmd = [
-                "g++", "-O3", "-march=native", "-funroll-loops", "-ffast-math",
-                "-std=c++17", "-shared", "-fPIC", str(src), "-o", str(tmp),
+                "g++", "-O3", "-march=native", "-funroll-loops",
+                "-fno-math-errno", "-std=c++17", "-shared", "-fPIC",
+                str(src), "-o", str(tmp),
             ]
             logger.info("building native component: %s", " ".join(cmd))
             proc = subprocess.run(cmd, capture_output=True, text=True)
