@@ -47,6 +47,27 @@ class PreprocessSpec:
 # ---------------------------------------------------------------------------
 
 
+def spec_from_preprocess_json(path, *, mode: str = "pixai", size: int = 448) -> PreprocessSpec:
+    """Build a spec from a PixAI-style ``preprocess.json`` stage list
+    (reference pixai_onnx.py:94-104: normalization stage carries mean/std)."""
+    import json
+    from pathlib import Path
+
+    doc = json.loads(Path(path).read_text(encoding="utf-8"))
+    stages = doc.get("stages", doc if isinstance(doc, list) else [])
+    mean, std = IMAGENET_MEAN, IMAGENET_STD
+    for stage in stages:
+        if not isinstance(stage, dict):
+            continue
+        if "mean" in stage and "std" in stage:
+            mean = tuple(float(x) for x in stage["mean"])
+            std = tuple(float(x) for x in stage["std"])
+        if stage.get("type") in ("resize", "crop") and "size" in stage:
+            raw = stage["size"]
+            size = int(raw[0] if isinstance(raw, (list, tuple)) else raw)
+    return PreprocessSpec(mode=mode, size=size, mean=mean, std=std)
+
+
 def letterbox_square_rgb(arr: np.ndarray, size: int) -> np.ndarray:
     """White square pad then resize to (size, size); uint8 RGB in/out."""
     h, w = arr.shape[:2]
