@@ -9,11 +9,19 @@ from __future__ import annotations
 
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before any jax backend initializes in the test process.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon site hook (PYTHONPATH=/root/.axon_site) imports jax at interpreter
+# start and pins JAX_PLATFORMS=axon (the single tunneled TPU).  Tests must run
+# on the 8-virtual-device CPU mesh regardless, so override via jax.config —
+# this works as long as no backend has been initialized yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
