@@ -127,7 +127,7 @@ def cmd_search(args) -> int:
         thresholds = load_tag_thresholds(conn)
         t0 = time.perf_counter()
         if args.backend == "device":
-            epoch = build_epoch(conn)
+            epoch = _load_or_build_epoch(conn, db, args)
             rows = search_epoch(
                 epoch, args.query, thresholds=thresholds,
                 order_by=args.order, limit=args.limit, offset=args.offset,
@@ -163,6 +163,28 @@ def cmd_search(args) -> int:
     finally:
         conn.close()
     return 0
+
+
+def _load_or_build_epoch(conn, db: Path, args):
+    """Reuse the on-disk epoch snapshot when it's newer than the catalog;
+    otherwise build fresh and refresh the snapshot (fast repeat searches)."""
+    from kobato_eyes_tpu.core.config.service import load_settings as _ls
+    from kobato_eyes_tpu.query.engine import build_epoch
+    from kobato_eyes_tpu.query.snapshot import load_epoch, save_epoch
+
+    settings = _ls(args.config)
+    snap = get_app_paths(args.data_dir or settings.data_dir).index_dir / "epoch.npz"
+    try:
+        if snap.exists() and snap.stat().st_mtime >= db.stat().st_mtime:
+            return load_epoch(snap)
+    except (OSError, ValueError, KeyError) as exc:
+        logger.warning("epoch snapshot unusable (%s); rebuilding", exc)
+    epoch = build_epoch(conn)
+    try:
+        save_epoch(epoch, snap)
+    except OSError as exc:
+        logger.warning("failed to save epoch snapshot: %s", exc)
+    return epoch
 
 
 def _export_csv(dest: str, rows: list[dict]) -> Path:

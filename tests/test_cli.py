@@ -39,6 +39,14 @@ def test_index_search_stats_complete(env, capsys):
     assert main([*base, "search", "1girl", "--backend", "device"]) == 0
     assert len([l for l in capsys.readouterr().out.splitlines() if l.strip()]) == len(paths)
 
+    # second device search hits the epoch snapshot (and returns the same rows)
+    from kobato_eyes_tpu.utils.paths import get_app_paths
+
+    snap = get_app_paths(base[3]).index_dir / "epoch.npz"
+    assert snap.exists()
+    assert main([*base, "search", "1girl", "--backend", "device"]) == 0
+    assert len([l for l in capsys.readouterr().out.splitlines() if l.strip()]) == len(paths)
+
     assert main([*base, "search", "1girl", "--backend", "sql", "--limit", "2"]) == 0
     assert len(capsys.readouterr().out.splitlines()) == 2
 
