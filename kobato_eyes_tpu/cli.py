@@ -344,6 +344,31 @@ def cmd_thresholds(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Model/checkpoint inspection (reference settings-tab model feedback)."""
+    settings, _db = _load_env(args)
+    from kobato_eyes_tpu.models.inspection import inspect_model
+
+    info = inspect_model(
+        checkpoint_path=args.checkpoint or settings.tagger.model_path,
+        labels_path=args.labels or settings.tagger.labels_path,
+    )
+    print(info.summary())
+    return 0
+
+
+def cmd_reset(args) -> int:
+    """Reset the catalog with timestamped backups (reference db/admin.py)."""
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.db.admin import reset_database
+
+    if not args.yes:
+        raise SystemExit("refusing to reset without --yes")
+    backups = reset_database(db, backup=not args.no_backup)
+    print(json.dumps({"backups": [str(b) for b in backups]}))
+    return 0
+
+
 def cmd_watch(args) -> int:
     """Event-driven tagging: poll roots and tag files as they appear."""
     settings, db = _load_env(args)
@@ -510,6 +535,16 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("thresholds", help="get/set per-category search thresholds")
     p.add_argument("--set", action="append", metavar="CAT=VALUE")
     p.set_defaults(fn=cmd_thresholds)
+
+    p = sub.add_parser("inspect", help="inspect a tagger checkpoint / label file")
+    p.add_argument("--checkpoint")
+    p.add_argument("--labels")
+    p.set_defaults(fn=cmd_inspect)
+
+    p = sub.add_parser("reset", help="reset the catalog (timestamped backups)")
+    p.add_argument("--yes", action="store_true")
+    p.add_argument("--no-backup", action="store_true")
+    p.set_defaults(fn=cmd_reset)
 
     p = sub.add_parser("watch", help="tag new files as they appear (polling)")
     p.add_argument("root", nargs="*")

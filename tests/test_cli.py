@@ -89,3 +89,23 @@ def test_config_show(env, capsys):
     assert main([*base, "config"]) == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["tagger"]["name"] == "dummy"
+
+
+def test_inspect_and_reset(env, capsys, tmp_path):
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    (tmp_path / "selected_tags.csv").write_text(
+        "name,category,count\n" + "\n".join(f"t{i},general,1" for i in range(8000)) + "\n"
+    )
+    assert main([*base, "inspect", "--labels", str(tmp_path / "selected_tags.csv")]) == 0
+    out = capsys.readouterr().out
+    assert "family: wd14" in out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main([*base, "reset"])  # requires --yes
+    assert main([*base, "reset", "--yes"]) == 0
+    backups = json.loads(capsys.readouterr().out)["backups"]
+    assert backups
