@@ -480,9 +480,13 @@ def _scan_resident_kernel(
     gi = jnp.where(b_idx >= 0, order[jnp.maximum(b_idx, 0), i_idx], -1)
     gj = jnp.where(b_idx >= 0, order[jnp.maximum(b_idx, 0), j_idx], -1)
     d_out = jnp.where(b_idx >= 0, dist[jnp.maximum(b_idx, 0), w_idx, i_idx], -1)
-    # Single stacked output: count rides in row 3 so the host needs exactly
-    # ONE device->host transfer (round trips dominate on tunneled chips).
-    return jnp.stack([gi, gj, d_out, jnp.full_like(gi, n_edges)])
+    # Single packed output, ONE device->host transfer (round trips and
+    # transfer bytes dominate on tunneled chips): row0 = gi (or -1 padding),
+    # row1 = gj | dist<<20 (gj < 2^20 is asserted by the caller); the edge
+    # count rides in the reserved last slot of row0.
+    packed_j = jnp.where(gj >= 0, gj | (d_out << 20), -1)
+    row0 = gi.at[max_edges - 1].set(n_edges)
+    return jnp.stack([row0, packed_j])
 
 
 class BandedHammingScanner:
@@ -555,27 +559,33 @@ class BandedHammingScanner:
         out_j: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
         if window > 0:
+            if n >= (1 << 20):
+                raise ValueError(
+                    "resident scan packs row indices into 20 bits (n < 1M); "
+                    "shard larger populations (parallel/sharded_scan.py)"
+                )
             with metrics.timer("dup.scan.upload"):
                 self._ensure_resident(ph_u64, sizes_f)
                 ok_dev = jnp.asarray(ok)
             cap = self.max_edges_hint
             with metrics.timer("dup.scan.device"):
                 while True:
-                    stacked = np.asarray(
+                    packed = np.asarray(
                         _scan_resident_kernel(
                             self._ph_dev, self._sizes_dev, ok_dev,
                             jnp.int32(hamming_threshold), jnp.float32(size_ratio or 0.0),
                             window=window, max_edges=cap, use_size=use_size,
                             band_bits=self.band_bits, band_count=self.band_count,
                         )
-                    )  # one transfer: rows = gi, gj, dist, count
-                    count = int(stacked[3, 0])
-                    if count <= cap:
+                    )  # one transfer: row0 = gi (+count in last slot), row1 = gj|d<<20
+                    count = int(packed[0, cap - 1])
+                    if count <= cap - 1:
                         break
-                    cap = int(2 ** np.ceil(np.log2(count + 1)))
-            gi = stacked[0, :count].astype(np.int64)
-            gj = stacked[1, :count].astype(np.int64)
-            d = stacked[2, :count].astype(np.int64)
+                    cap = int(2 ** np.ceil(np.log2(count + 2)))
+            gi = packed[0, :count].astype(np.int64)
+            pj = packed[1, :count].astype(np.int64)
+            gj = pj & ((1 << 20) - 1)
+            d = pj >> 20
             out_i.append(np.minimum(gi, gj))
             out_j.append(np.maximum(gi, gj))
             out_d.append(d)
