@@ -180,7 +180,7 @@ def assemble_clusters(
     suffix_l: list[str] = []
     extpri_np = np.zeros(k, dtype=np.int64)
     for i, mt in enumerate(metas):
-        p = str(mt.path).lower()
+        p = str(mt.path).replace("\\", "/").lower()  # as_posix semantics
         name = p.rsplit("/", 1)[-1]
         stem, dot, ext = name.rpartition(".")
         sfx = ("." + ext) if stem else ""
