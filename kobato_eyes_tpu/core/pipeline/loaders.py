@@ -136,6 +136,7 @@ class PrefetchLoader:
         self._cache = cache
         self._is_cancelled = is_cancelled or (lambda: False)
         self._error: BaseException | None = None
+        self._abandoned = threading.Event()
         self.metrics = LoaderMetrics()
         self._thread = threading.Thread(target=self._producer, name="prefetch-loader", daemon=True)
 
@@ -178,23 +179,50 @@ class PrefetchLoader:
                         sizes=[(r.width or 0, r.height or 0) for r, _ in ok],
                     )
                     t0 = time.perf_counter()
-                    self._queue.put(batch)
+                    # bounded put in slices: an abandoned consumer (exception
+                    # in the processing loop) must not strand this thread
+                    while True:
+                        if self._abandoned.is_set() or self._is_cancelled():
+                            return
+                        try:
+                            self._queue.put(batch, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
                     self.metrics.queue_wait_seconds += time.perf_counter() - t0
                     self.metrics.batches += 1
         except BaseException as exc:  # noqa: BLE001
             # Failure policy: producer errors must propagate to the consumer.
             self._error = exc
         finally:
-            self._queue.put(_SENTINEL)
+            # never block on the sentinel: if the consumer is gone the queue
+            # may be full and will simply never be read again
+            while True:
+                try:
+                    self._queue.put(_SENTINEL, timeout=0.25)
+                    break
+                except queue.Full:
+                    if self._abandoned.is_set():
+                        break
 
     def __iter__(self) -> Iterator[PreparedBatch]:
         self._thread.start()
-        while True:
-            item = self._queue.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        self._thread.join()
+        try:
+            while True:
+                item = self._queue.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+        finally:
+            # consumer done or abandoned (exception mid-loop): release the
+            # producer, drain anything it already queued, and reap the thread
+            self._abandoned.set()
+            while True:
+                try:
+                    self._queue.get_nowait()
+                except queue.Empty:
+                    break
+            self._thread.join(timeout=30)
         if self._error is not None:
             raise self._error
         logger.info("loader: %s", self.metrics.summary())

@@ -62,11 +62,21 @@ class CatalogWriter:
         self.raise_if_failed()
 
     def stop(self, *, flush: bool = True, timeout: float = 120.0) -> None:
+        import time as _time
+
         if self._thread is None:
             return
-        self._queue.put(WriteStop(flush=flush))
-        self._thread.join(timeout)
-        if self._thread.is_alive():
+        deadline = _time.monotonic() + timeout
+        # a dead writer never drains the queue; don't block on the sentinel
+        while self._thread.is_alive():
+            try:
+                self._queue.put(WriteStop(flush=flush), timeout=0.25)
+                break
+            except queue.Full:
+                if self._failure is not None or _time.monotonic() >= deadline:
+                    break
+        self._thread.join(max(0.0, deadline - _time.monotonic()))
+        if self._thread.is_alive() and self._failure is None:
             raise WriterError("catalog writer did not stop in time")
         self._thread = None
         self.raise_if_failed()
@@ -78,8 +88,24 @@ class CatalogWriter:
     # -- producer API ------------------------------------------------------
 
     def put(self, item: WriteItem, *, timeout: float | None = None) -> None:
-        self.raise_if_failed()
-        self._queue.put(item, timeout=timeout)
+        """Enqueue with backpressure; never blocks forever on a dead writer.
+
+        A failed writer thread stops draining the queue — a plain blocking
+        put would deadlock the producer, so block in short slices and
+        re-check the failure flag (reference db_writing.py backpressure +
+        raise_if_failed discipline).
+        """
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            self.raise_if_failed()
+            try:
+                self._queue.put(item, timeout=0.25)
+                return
+            except queue.Full:
+                if deadline is not None and _time.monotonic() >= deadline:
+                    raise WriterError("catalog writer queue full (timeout)") from None
 
     def flush(self) -> None:
         self.raise_if_failed()
