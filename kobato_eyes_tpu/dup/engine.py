@@ -40,8 +40,59 @@ class TpuDuplicateScanner:
     def config(self) -> DuplicateScanConfig:
         return self._config
 
+    def build_clusters_sweep(
+        self, files: Iterable[DuplicateFileMeta], thresholds: Sequence[int]
+    ) -> dict[int, list[DuplicateCluster]]:
+        """Clusters for SEVERAL Hamming thresholds from ONE device scan.
+
+        The interactive workload (reference dup-tab slider, 0..10): candidate
+        membership is threshold-independent (LSH buckets), so a single scan at
+        max(thresholds) yields every edge set — each lower threshold is a
+        host-side filter ``dist <= t`` plus re-assembly.  Parity with
+        re-scanning at each t is exact.
+        """
+        thresholds = sorted(set(int(t) for t in thresholds))
+        if not thresholds:
+            return {}
+        base_cfg = self._config
+        scan_cfg = DuplicateScanConfig(
+            hamming_threshold=max(thresholds),
+            size_ratio=base_cfg.size_ratio,
+            band_bits=base_cfg.band_bits,
+            band_count=base_cfg.band_count,
+            cosine_threshold=base_cfg.cosine_threshold,
+            bucket_pair_cap=base_cfg.bucket_pair_cap,
+        )
+        ids, unique, ei, ej, dists = self._scan_edges(list(files), scan_cfg)
+        out: dict[int, list[DuplicateCluster]] = {}
+        files_by_id = dict(zip(ids.tolist(), unique)) if len(unique) else {}
+        for t in thresholds:
+            keep = dists <= t
+            out[t] = assemble_clusters(
+                files_by_id, (ids[ei[keep]], ids[ej[keep]], dists[keep])
+            ) if len(unique) >= 2 else []
+        return out
+
     def build_clusters(self, files: Iterable[DuplicateFileMeta]) -> list[DuplicateCluster]:
         cfg = self._config
+        t0 = time.perf_counter()
+        ids, unique, ei, ej, dists = self._scan_edges(list(files), cfg)
+        if len(unique) < 2:
+            return []
+
+        from kobato_eyes_tpu.utils.metrics import metrics
+
+        with metrics.timer("dup.assemble"):
+            files_by_id = dict(zip(ids.tolist(), unique))
+            # array fast path into the vectorized assembly (no per-edge tuples)
+            clusters = assemble_clusters(files_by_id, (ids[ei], ids[ej], dists))
+        logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
+        return clusters
+
+    def _scan_edges(
+        self, files: list[DuplicateFileMeta], cfg: DuplicateScanConfig
+    ) -> tuple[np.ndarray, list[DuplicateFileMeta], np.ndarray, np.ndarray, np.ndarray]:
+        """Candidate scan -> (ids, unique_files, edge_i, edge_j, dists)."""
         candidates = [f for f in files if f.phash is not None]
         t0 = time.perf_counter()
         logger.info(
@@ -49,8 +100,9 @@ class TpuDuplicateScanner:
             len(candidates), cfg.band_bits, cfg.band_count,
             cfg.hamming_threshold, cfg.size_ratio, cfg.cosine_threshold,
         )
+        empty = np.empty(0, np.int64)
         if len(candidates) < 2:
-            return []
+            return empty, candidates, empty, empty, empty
 
         # Rows sharing a file_id would self-pair in index space; the reference
         # skips a.file_id == b.file_id pairs, so deduplicate rows up front.
@@ -92,20 +144,11 @@ class TpuDuplicateScanner:
             cos = np.einsum("nd,nd->n", unit[ei], unit[ej])
             keep = (~(valid[ei] & valid[ej])) | (cos >= cfg.cosine_threshold)
             ei, ej, dists = ei[keep], ej[keep], dists[keep]
-        n_pairs_scanned = len(unique) * (len(unique) - 1) // 2
         logger.info(
             "dup: pairs scanned=%d -> edges=%d in %.3fs",
-            n_pairs_scanned, len(ei), time.perf_counter() - t0,
+            len(unique) * (len(unique) - 1) // 2, len(ei), time.perf_counter() - t0,
         )
-
-        from kobato_eyes_tpu.utils.metrics import metrics
-
-        with metrics.timer("dup.assemble"):
-            files_by_id = dict(zip(ids.tolist(), unique))
-            # array fast path into the vectorized assembly (no per-edge tuples)
-            clusters = assemble_clusters(files_by_id, (ids[ei], ids[ej], dists))
-        logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
-        return clusters
+        return ids, unique, ei, ej, dists
 
 
 def cluster_ids(clusters: Sequence[DuplicateCluster]) -> list[tuple[int, list[int]]]:

@@ -163,3 +163,32 @@ def test_edge_scan_matches_numpy_bruteforce(rng):
     got = sorted(zip(gi.tolist(), gj.tolist(), gd.tolist()))
     want = sorted(zip(wi.tolist(), wj.tolist(), wd.tolist()))
     assert got == want
+
+
+def test_threshold_sweep_matches_individual_scans(rng):
+    """One sweep scan == separate scans at each threshold (cluster identity)."""
+    from kobato_eyes_tpu.dup.engine import TpuDuplicateScanner, cluster_ids
+    from kobato_eyes_tpu.dup.types import DuplicateFileMeta, DuplicateScanConfig
+    from pathlib import Path
+    import numpy as np
+
+    n, n_dups = 150, 50
+    orig = rng.integers(0, 1 << 64, size=n - n_dups, dtype=np.uint64)
+    dups = orig[rng.integers(0, len(orig), size=n_dups)].copy()
+    for i in range(n_dups):
+        for bit in rng.integers(0, 64, size=int(rng.integers(0, 8))):
+            dups[i] ^= np.uint64(1) << np.uint64(bit)
+    hashes = np.concatenate([orig, dups])
+    rng.shuffle(hashes)
+    files = [
+        DuplicateFileMeta(i, Path(f"/s/{i:04d}.png"), 1000 + i, None, None, int(hashes[i]))
+        for i in range(n)
+    ]
+    sweep = TpuDuplicateScanner(DuplicateScanConfig()).build_clusters_sweep(
+        files, thresholds=[0, 2, 4, 8]
+    )
+    for t in (0, 2, 4, 8):
+        single = TpuDuplicateScanner(
+            DuplicateScanConfig(hamming_threshold=t)
+        ).build_clusters(files)
+        assert cluster_ids(sweep[t]) == cluster_ids(single), t
