@@ -236,7 +236,15 @@ def cmd_dup(args) -> int:
         size_ratio=args.size_ratio if args.size_ratio is not None else settings.dup.size_ratio,
         bucket_pair_cap=settings.dup.bucket_pair_cap,
     )
-    clusters = TpuDuplicateScanner(cfg).build_clusters(metas)
+    scanner = TpuDuplicateScanner(cfg)
+    if args.sweep:
+        # interactive-slider workload: one scan, clusters for every threshold
+        sweep = scanner.build_clusters_sweep(metas, range(0, cfg.hamming_threshold + 1))
+        for t, cl in sweep.items():
+            print(f"hamming<={t}: {len(cl)} clusters", file=sys.stderr)
+        clusters = sweep[cfg.hamming_threshold]
+    else:
+        clusters = scanner.build_clusters(metas)
 
     if args.refine:
         from kobato_eyes_tpu.dup.refine_clusters import refine_by_pixels, refine_by_tilehash
@@ -519,6 +527,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export", help="CSV file or directory")
     p.add_argument("--trash-duplicates", action="store_true",
                    help="move non-keepers to the data-dir trash and mark absent")
+    p.add_argument("--sweep", action="store_true",
+                   help="report cluster counts for every threshold 0..hamming")
     p.set_defaults(fn=cmd_dup)
 
     p = sub.add_parser("stats", help="per-tag statistics")

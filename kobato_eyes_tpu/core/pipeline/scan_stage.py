@@ -18,7 +18,7 @@ from typing import Callable, Sequence
 from kobato_eyes_tpu.core.pipeline.contracts import FileRecord, ScanResult
 from kobato_eyes_tpu.core.progress import IndexPhase, IndexProgress, ProgressEmitter
 from kobato_eyes_tpu.core.scanner import ScannedFile, iter_images
-from kobato_eyes_tpu.db.repository import fetch_files_by_paths, mark_files_absent, upsert_file
+from kobato_eyes_tpu.db.repository import bulk_scan_upsert, fetch_files_by_paths, mark_files_absent
 from kobato_eyes_tpu.utils.hashing import compute_sha256
 
 logger = logging.getLogger(__name__)
@@ -57,6 +57,8 @@ class ScanStage:
         result = ScanResult()
         existing = fetch_files_by_paths(conn, [str(s.path) for s in scanned])
 
+        # pass 1: change detection (sha256 only for new/changed — the hot IO)
+        pending: list[tuple[ScannedFile, object, bool, bool, str | None]] = []
         for i, item in enumerate(scanned):
             if self._is_cancelled():
                 break
@@ -76,24 +78,29 @@ class ScanStage:
                     continue  # unreadable: per-item skip
                 if not is_new and sha == row["sha256"]:
                     changed = False  # touched but content-identical
-            file_id = upsert_file(
-                conn, path=item.path, size=item.size, mtime=item.mtime, sha256=sha
+            pending.append((item, row, is_new, changed, sha))
+            progress.emit(IndexProgress(IndexPhase.SCAN, i + 1, len(scanned)))
+
+        # pass 2: one bulk write for all rows (scales to 1M-file scans)
+        with conn:
+            ids = bulk_scan_upsert(
+                conn,
+                [(str(it.path), it.size, it.mtime, sha) for (it, _r, _n, _c, sha) in pending],
             )
+        for item, row, is_new, changed, sha in pending:
             untagged = is_new or not bool(row["has_tags"]) if row is not None else True
             sig_mismatch = (row["tagger_sig"] if row is not None else None) != self._tagger_sig
-            needs = is_new or changed or untagged or sig_mismatch
             result.records.append(
                 FileRecord(
-                    file_id=file_id, path=item.path, size=item.size, mtime=item.mtime,
+                    file_id=ids[str(item.path)], path=item.path, size=item.size,
+                    mtime=item.mtime,
                     width=row["width"] if row is not None else None,
                     height=row["height"] if row is not None else None,
-                    needs_tagging=needs,
+                    needs_tagging=is_new or changed or untagged or sig_mismatch,
                 )
             )
             result.new += int(is_new)
             result.changed += int(changed and not is_new)
-            progress.emit(IndexProgress(IndexPhase.SCAN, i + 1, len(scanned)))
-        conn.commit()
 
         if self._config.detect_missing and not self._is_cancelled():
             result.missing_ids = self._find_missing(conn, scanned)

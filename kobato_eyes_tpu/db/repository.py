@@ -68,6 +68,43 @@ def upsert_file(
     return int(row[0])
 
 
+def bulk_scan_upsert(
+    conn: sqlite3.Connection,
+    rows: Sequence[tuple[str, int, float, str | None]],
+) -> dict[str, int]:
+    """Bulk insert-or-update of scan metadata (path, size, mtime, sha256).
+
+    The scan-stage fast path (reference db/files.py bulk_upsert_files_meta):
+    one executemany instead of a per-file round trip; sha256=None keeps the
+    stored value (COALESCE). Returns path -> id for every row.
+    """
+    if not rows:
+        return {}
+    now = time.time()
+    conn.executemany(
+        """
+        INSERT INTO files (path, size, mtime, sha256, is_present, created_at, updated_at)
+        VALUES (?, ?, ?, ?, 1, ?, ?)
+        ON CONFLICT(path) DO UPDATE SET
+            size = excluded.size,
+            mtime = excluded.mtime,
+            sha256 = COALESCE(excluded.sha256, files.sha256),
+            is_present = 1,
+            updated_at = excluded.updated_at
+        """,
+        [(path, size, mtime, sha, now, now) for (path, size, mtime, sha) in rows],
+    )
+    out: dict[str, int] = {}
+    paths = [r[0] for r in rows]
+    for chunk in _chunks(paths):
+        ph = ",".join("?" * len(chunk))
+        for row in conn.execute(
+            f"SELECT id, path FROM files WHERE path IN ({ph})", list(chunk)
+        ):
+            out[row["path"]] = int(row["id"])
+    return out
+
+
 def fetch_files_by_paths(
     conn: sqlite3.Connection, paths: Sequence[str]
 ) -> dict[str, sqlite3.Row]:

@@ -146,3 +146,23 @@ def test_quiesce_blocks_new_connections(tmp_path):
         assert err and isinstance(err[0], QuiesceError)
     # gate released
     connect(db).close()
+
+
+def test_bulk_scan_upsert(conn):
+    from kobato_eyes_tpu.db.repository import bulk_scan_upsert
+
+    ids = bulk_scan_upsert(conn, [
+        ("/b/a.png", 10, 1.0, "sha_a"),
+        ("/b/b.png", 20, 2.0, None),
+    ])
+    assert set(ids) == {"/b/a.png", "/b/b.png"}
+    # update: size/mtime refresh, sha kept when None
+    ids2 = bulk_scan_upsert(conn, [("/b/a.png", 11, 1.5, None)])
+    assert ids2["/b/a.png"] == ids["/b/a.png"]
+    row = conn.execute("SELECT * FROM files WHERE path='/b/a.png'").fetchone()
+    assert row["size"] == 11 and row["sha256"] == "sha_a"
+    # absent row resurrection
+    mark_files_absent(conn, [ids["/b/b.png"]])
+    bulk_scan_upsert(conn, [("/b/b.png", 20, 2.0, None)])
+    row = conn.execute("SELECT is_present FROM files WHERE path='/b/b.png'").fetchone()
+    assert row["is_present"] == 1
