@@ -175,7 +175,14 @@ def _load_or_build_epoch(conn, db: Path, args):
     settings = _ls(args.config)
     snap = get_app_paths(args.data_dir or settings.data_dir).index_dir / "epoch.npz"
     try:
-        if snap.exists() and snap.stat().st_mtime >= db.stat().st_mtime:
+        # WAL-mode commits land in db-wal without touching the main db file's
+        # mtime — freshness must consider both (plus -shm for completeness)
+        db_mtime = max(
+            (p.stat().st_mtime for p in (db, Path(str(db) + "-wal"), Path(str(db) + "-shm"))
+             if p.exists()),
+            default=0.0,
+        )
+        if snap.exists() and snap.stat().st_mtime >= db_mtime:
             return load_epoch(snap)
     except (OSError, ValueError, KeyError) as exc:
         logger.warning("epoch snapshot unusable (%s); rebuilding", exc)

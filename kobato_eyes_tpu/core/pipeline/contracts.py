@@ -18,6 +18,8 @@ class FileRecord:
     width: int | None = None
     height: int | None = None
     needs_tagging: bool = False
+    content_changed: bool = False  # new file or bytes changed (sha mismatch)
+    touched: bool = False  # size/mtime moved (content may be identical)
     tagged: bool = False
     failed: bool = False
 

@@ -75,6 +75,8 @@ def load_embeddings(
 def missing_embedding_records(
     conn: sqlite3.Connection, records: Sequence[FileRecord], *, model: str = EMBED_MODEL_NAME
 ) -> list[FileRecord]:
+    """Records needing a vector: no row yet, OR the file's bytes changed
+    (stale vectors would silently poison ANN results forever)."""
     ids = [r.file_id for r in records]
     have: set[int] = set()
     for start in range(0, len(ids), 900):
@@ -87,7 +89,7 @@ def missing_embedding_records(
                 [model, *chunk],
             )
         )
-    return [r for r in records if r.file_id not in have]
+    return [r for r in records if r.file_id not in have or r.content_changed]
 
 
 class EmbedStage:

@@ -76,15 +76,18 @@ class PreparedInputCache:
     re-tag runs (model changes re-tag the whole library; pixels don't change).
     """
 
-    def __init__(self, cache_dir: str | Path) -> None:
+    def __init__(self, cache_dir: str | Path, *, namespace: str = "") -> None:
+        # namespace MUST identify the preprocess convention (mode + target
+        # size): tensors prepared for one tagger are wrong for another.
         self.dir = Path(cache_dir)
+        self.namespace = namespace
         self.hits = 0
         self.misses = 0
 
     def _key(self, record: FileRecord) -> Path:
         import hashlib
 
-        raw = f"{record.path}|{record.size}|{record.mtime}|{_CACHE_VERSION}"
+        raw = f"{record.path}|{record.size}|{record.mtime}|{self.namespace}|{_CACHE_VERSION}"
         digest = hashlib.sha1(raw.encode()).hexdigest()
         return self.dir / digest[:2] / f"{digest}.npz"
 

@@ -26,6 +26,7 @@ from kobato_eyes_tpu.core.pipeline.orchestrator import IndexPipeline, IndexStats
 from kobato_eyes_tpu.core.scanner import iter_images
 from kobato_eyes_tpu.db.connection import bootstrap
 from kobato_eyes_tpu.db.repository import (
+    path_prefix_clause,
     clear_tagger_sig,
     delete_files,
     fetch_files_by_paths,
@@ -66,9 +67,9 @@ def refresh_root(
                                  allow_exts=settings.pipeline.allow_exts)
         }
         # missing rows under this root -> soft or hard delete
-        pattern = str(root).rstrip("/\\") + "%"
+        clause, pattern = path_prefix_clause(root)
         rows = conn.execute(
-            "SELECT id, path FROM files WHERE is_present = 1 AND path LIKE ?", (pattern,)
+            f"SELECT id, path FROM files WHERE is_present = 1 AND {clause}", (pattern,)
         ).fetchall()
         missing = [int(r["id"]) for r in rows if r["path"] not in on_disk]
         if missing:

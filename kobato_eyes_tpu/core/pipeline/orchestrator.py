@@ -162,7 +162,11 @@ class IndexPipeline:
         # files are re-read (delta build), else a full snapshot.
         if self._epochs is not None and not self._is_cancelled():
             self._progress.phase(IndexPhase.EPOCH)
-            changed = [r.file_id for r in scan.records if r.tagged]
+            # everything whose catalog row moved: tagged, tag-failed (must
+            # still appear in the epoch), and metadata-touched files
+            changed = [
+                r.file_id for r in scan.records if r.tagged or r.failed or r.touched
+            ]
             changed.extend(scan.missing_ids)
             conn = bootstrap(self._db_path)
             try:

@@ -58,18 +58,20 @@ class ScanStage:
         existing = fetch_files_by_paths(conn, [str(s.path) for s in scanned])
 
         # pass 1: change detection (sha256 only for new/changed — the hot IO)
-        pending: list[tuple[ScannedFile, object, bool, bool, str | None]] = []
+        pending: list[tuple[ScannedFile, object, bool, bool, bool, str | None]] = []
         for i, item in enumerate(scanned):
             if self._is_cancelled():
                 break
             row = existing.get(str(item.path))
             is_new = row is None
+            touched = False
             changed = False
             sha = None
             if not is_new:
-                changed = (row["size"] or -1) != item.size or abs(
+                touched = (row["size"] or -1) != item.size or abs(
                     (row["mtime"] or 0.0) - item.mtime
                 ) > 1e-6
+                changed = touched
             if is_new or changed:
                 try:
                     sha = compute_sha256(item.path)
@@ -78,16 +80,16 @@ class ScanStage:
                     continue  # unreadable: per-item skip
                 if not is_new and sha == row["sha256"]:
                     changed = False  # touched but content-identical
-            pending.append((item, row, is_new, changed, sha))
+            pending.append((item, row, is_new, touched, changed, sha))
             progress.emit(IndexProgress(IndexPhase.SCAN, i + 1, len(scanned)))
 
         # pass 2: one bulk write for all rows (scales to 1M-file scans)
         with conn:
             ids = bulk_scan_upsert(
                 conn,
-                [(str(it.path), it.size, it.mtime, sha) for (it, _r, _n, _c, sha) in pending],
+                [(str(it.path), it.size, it.mtime, sha) for (it, _r, _n, _t, _c, sha) in pending],
             )
-        for item, row, is_new, changed, sha in pending:
+        for item, row, is_new, touched, changed, sha in pending:
             untagged = is_new or not bool(row["has_tags"]) if row is not None else True
             sig_mismatch = (row["tagger_sig"] if row is not None else None) != self._tagger_sig
             result.records.append(
@@ -97,6 +99,8 @@ class ScanStage:
                     width=row["width"] if row is not None else None,
                     height=row["height"] if row is not None else None,
                     needs_tagging=is_new or changed or untagged or sig_mismatch,
+                    content_changed=is_new or changed,
+                    touched=touched or is_new,
                 )
             )
             result.new += int(is_new)
@@ -118,12 +122,14 @@ class ScanStage:
 
     def _find_missing(self, conn: sqlite3.Connection, scanned: list[ScannedFile]) -> list[int]:
         """Present rows under the scan roots whose file no longer exists."""
+        from kobato_eyes_tpu.db.repository import path_prefix_clause
+
         seen = {str(s.path) for s in scanned}
         missing: list[int] = []
         for root in self._config.roots:
-            pattern = str(Path(root).absolute()).rstrip("/\\") + "%"
+            clause, pattern = path_prefix_clause(root)
             rows = conn.execute(
-                "SELECT id, path FROM files WHERE is_present = 1 AND path LIKE ?", (pattern,)
+                f"SELECT id, path FROM files WHERE is_present = 1 AND {clause}", (pattern,)
             ).fetchall()
             missing.extend(int(r["id"]) for r in rows if r["path"] not in seen)
         return missing

@@ -74,7 +74,10 @@ class TagStage:
         from kobato_eyes_tpu.core.pipeline.loaders import PreparedInputCache
 
         cache = (
-            PreparedInputCache(self._input_cache_dir)
+            PreparedInputCache(
+                self._input_cache_dir,
+                namespace=f"{getattr(self._tagger, 'mode', 'tagger')}:{self._tagger.input_size}",
+            )
             if self._input_cache_dir
             else None
         )

@@ -26,6 +26,19 @@ def _chunks(seq: Sequence, n: int = _CHUNK) -> Iterator[Sequence]:
         yield seq[i : i + n]
 
 
+def path_prefix_clause(root: str | Path) -> tuple[str, str]:
+    """Separator-anchored, wildcard-escaped LIKE clause for 'under this root'.
+
+    A naive ``root + '%'`` matches sibling directories sharing the root as a
+    string prefix (/data/cat matching /data/cats/...) and treats %/_ in the
+    root as wildcards — under a hard-delete flow that destroys data.  Returns
+    (sql_fragment, pattern) where the fragment is ``path LIKE ? ESCAPE '\\'``.
+    """
+    base = str(Path(root).absolute()).rstrip("/\\")
+    escaped = base.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    return "path LIKE ? ESCAPE '\\'", escaped + "/%"
+
+
 # ---------------------------------------------------------------------------
 # files
 # ---------------------------------------------------------------------------
@@ -160,11 +173,11 @@ def delete_files(conn: sqlite3.Connection, file_ids: Sequence[int]) -> int:
 def list_untagged_under_path(conn: sqlite3.Connection, root: str | Path) -> list[sqlite3.Row]:
     """Present files under a root with no tagger signature
     (reference manual_refresh.py:30-180 LIKE pattern)."""
-    pattern = str(root).rstrip("/\\") + "%"
+    clause, pattern = path_prefix_clause(root)
     return conn.execute(
-        """
+        f"""
         SELECT * FROM files
-        WHERE is_present = 1 AND path LIKE ?
+        WHERE is_present = 1 AND {clause}
           AND (tagger_sig IS NULL OR tagger_sig = '')
         ORDER BY path
         """,

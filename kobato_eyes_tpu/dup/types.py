@@ -180,10 +180,14 @@ def assemble_clusters(
     suffix_l: list[str] = []
     extpri_np = np.zeros(k, dtype=np.int64)
     for i, mt in enumerate(metas):
-        p = str(mt.path).replace("\\", "/").lower()  # as_posix semantics
+        # pathlib-name semantics: split only on '/' (a backslash is a legal
+        # POSIX filename character and must stay part of the name key)
+        p = str(mt.path).lower()
         name = p.rsplit("/", 1)[-1]
         stem, dot, ext = name.rpartition(".")
-        sfx = ("." + ext) if stem else ""
+        # pathlib suffix semantics: '' for dotfiles ('.hidden') AND for
+        # trailing dots ('name.')
+        sfx = ("." + ext) if (stem and ext) else ""
         pathlow_l.append(p)
         namelow_l.append(name)
         suffix_l.append(sfx)

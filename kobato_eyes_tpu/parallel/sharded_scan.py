@@ -57,13 +57,18 @@ def _shard_body(
     ).astype(jnp.int32)
     mask = eq & (dist <= hamming_threshold)
 
+    n_edges = jnp.sum(mask, dtype=jnp.int32)
     b_idx, w_idx, i_local = jnp.nonzero(mask, size=max_edges_per_shard, fill_value=-1)
     i_sorted = jnp.where(b_idx >= 0, i_local + start, -1)
     j_sorted = jnp.where(b_idx >= 0, i_sorted + w_idx + 1, -1)
     d_out = jnp.where(
         b_idx >= 0, dist[jnp.maximum(b_idx, 0), jnp.maximum(w_idx, 0), jnp.maximum(i_local, 0)], -1
     )
-    out = jnp.stack([jnp.maximum(b_idx, -1), i_sorted, j_sorted, d_out])  # (4, cap)
+    # per-shard edge count rides in the reserved last slot of row 0 so the
+    # caller can detect truncation (edges beyond the cap would silently
+    # vanish otherwise)
+    row_b = jnp.maximum(b_idx, -1).at[max_edges_per_shard - 1].set(n_edges)
+    out = jnp.stack([row_b, i_sorted, j_sorted, d_out])  # (4, cap)
     # all-gather the per-shard edge blocks -> (D, 4, cap) on every device
     return jax.lax.all_gather(out, DATA_AXIS)
 
@@ -112,6 +117,16 @@ def sharded_window_scan(
             jnp.int32(hamming_threshold),
         )
     )  # (D, 4, cap)
+    counts = gathered[:, 0, -1]
+    worst = int(counts.max()) if len(counts) else 0
+    if worst > max_edges_per_shard - 1:
+        raise ValueError(
+            f"sharded scan overflow: a shard produced {worst} edges "
+            f"(cap {max_edges_per_shard - 1}); retry with a larger "
+            f"max_edges_per_shard"
+        )
+    # the count slot is excluded by the keep mask below: its i/j entries are
+    # -1 padding whenever count <= cap-1 (enforced above)
     b = gathered[:, 0, :].ravel()
     i = gathered[:, 1, :].ravel()
     j = gathered[:, 2, :].ravel()

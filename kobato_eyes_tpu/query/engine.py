@@ -56,7 +56,7 @@ def _case_gate(thr: dict[int, float], cat: int) -> float:
     return thr.get(-1, 0.0)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity hash/eq: used as a weak cache key
 class TagIndexEpoch:
     """Immutable device snapshot of the (files x tags) score relation."""
 
@@ -312,9 +312,13 @@ class DeviceSearchResult:
 
 _ORDERINGS = ("relevance", "mtime", "path", "id")
 
-# (epoch.version, query, thr-key, with_rel) -> compiled single-dispatch eval
-_COMPILED_CACHE: dict[tuple, object] = {}
-_COMPILED_CACHE_CAP = 256
+# epoch -> {(query, thr-key, positive): compiled eval}.  Weak keys: when an
+# epoch is superseded its compiled closures (which capture the whole epoch's
+# host+device arrays) must become collectable immediately.
+import weakref
+
+_COMPILED_CACHE: "weakref.WeakKeyDictionary[TagIndexEpoch, dict]" = weakref.WeakKeyDictionary()
+_PER_EPOCH_CACHE_CAP = 512
 
 
 def _compiled_eval(
@@ -327,14 +331,9 @@ def _compiled_eval(
     """One jitted program per (epoch, query): the whole mask + relevance
     evaluation runs in a single device dispatch (term offsets and thresholds
     are static and baked into the trace)."""
-    key = (
-        epoch.version,
-        id(epoch),  # a rebuilt epoch with the same version must not alias
-        query,
-        tuple(sorted(thr.items())),
-        tuple(positive),
-    )
-    fn = _COMPILED_CACHE.get(key)
+    per_epoch = _COMPILED_CACHE.setdefault(epoch, {})
+    key = (query, tuple(sorted(thr.items())), tuple(positive))
+    fn = per_epoch.get(key)
     if fn is not None:
         return fn
 
@@ -372,9 +371,9 @@ def _compiled_eval(
         return jnp.ones(n, dtype=bool) if expr is None else ev(expr)
 
     fn = jax.jit(build)
-    if len(_COMPILED_CACHE) >= _COMPILED_CACHE_CAP:
-        _COMPILED_CACHE.clear()
-    _COMPILED_CACHE[key] = fn
+    if len(per_epoch) >= _PER_EPOCH_CACHE_CAP:
+        per_epoch.clear()
+    per_epoch[key] = fn
     return fn
 
 

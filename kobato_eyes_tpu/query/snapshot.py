@@ -25,8 +25,9 @@ def save_epoch(epoch: TagIndexEpoch, path: str | Path) -> Path:
     if base.suffix != ".npz":
         base = base.with_suffix(".npz")
     base.parent.mkdir(parents=True, exist_ok=True)
+    tmp_npz = base.with_suffix(".tmp.npz")
     np.savez_compressed(
-        base,
+        tmp_npz,
         file_ids=epoch.file_ids,
         mtimes=epoch.mtimes,
         tag_cats=epoch.tag_cats,
@@ -36,19 +37,26 @@ def save_epoch(epoch: TagIndexEpoch, path: str | Path) -> Path:
         cat_max=np.asarray(epoch.cat_max_dev),
         cat_present=np.asarray(epoch.cat_present_dev),
     )
+    # atomic pair swap: sidecar first, then the npz (the loader treats a
+    # mismatched pair as unusable via the consistency checks below)
     sidecar = base.with_suffix(".json")
-    sidecar.write_text(
+    tmp_json = base.with_suffix(".tmp.json")
+    tmp_json.write_text(
         json.dumps(
             {
                 "format": _FORMAT_VERSION,
                 "version": epoch.version,
                 "built_at": epoch.built_at,
+                "num_files": epoch.num_files,
+                "nnz": int(len(epoch.rows_np)),
                 "paths": epoch.paths,
                 "tag_names": epoch.tag_names,
             }
         ),
         encoding="utf-8",
     )
+    tmp_json.replace(sidecar)
+    tmp_npz.replace(base)
     return base
 
 
@@ -62,6 +70,12 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
     arrays = np.load(base)
     tag_names = list(meta["tag_names"])
     scores64 = arrays["scores64"]
+    # pair-consistency: a crash between the two renames (or manual tampering)
+    # must not assemble a corrupt epoch from mismatched halves
+    if len(meta["paths"]) != len(arrays["file_ids"]) or len(tag_names) + 1 != len(
+        arrays["offsets"]
+    ) or meta.get("nnz", len(scores64)) != len(scores64):
+        raise ValueError("epoch snapshot sidecar/arrays mismatch")
     return TagIndexEpoch(
         version=int(meta["version"]),
         file_ids=arrays["file_ids"],

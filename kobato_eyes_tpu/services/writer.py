@@ -108,8 +108,14 @@ class CatalogWriter:
                     raise WriterError("catalog writer queue full (timeout)") from None
 
     def flush(self) -> None:
-        self.raise_if_failed()
-        self._queue.put(WriteFlush())
+        """Request a flush; same dead-writer protection as put()."""
+        while True:
+            self.raise_if_failed()
+            try:
+                self._queue.put(WriteFlush(), timeout=0.25)
+                return
+            except queue.Full:
+                continue
 
     # -- worker ------------------------------------------------------------
 
