@@ -66,9 +66,21 @@ def load_embeddings(
     ).fetchall()
     if not rows:
         return np.empty(0, np.int64), np.empty((0, 0), np.float32)
-    dim = int(rows[0][1])
-    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
-    vecs = np.stack([np.frombuffer(r[2], dtype=np.float32, count=dim) for r in rows])
+    # rows may mix dimensions after an embed_dim config change: keep the
+    # majority dim, skip the rest with a warning (never crash or truncate)
+    dims = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    uniq, counts = np.unique(dims, return_counts=True)
+    dim = int(uniq[np.argmax(counts)])
+    if len(uniq) > 1:
+        skipped = int((dims != dim).sum())
+        logger.warning(
+            "embeddings table mixes dims %s; keeping dim=%d, skipping %d rows "
+            "(re-index with index.enabled to refresh them)",
+            uniq.tolist(), dim, skipped,
+        )
+    kept = [r for r, d in zip(rows, dims) if d == dim]
+    ids = np.fromiter((r[0] for r in kept), dtype=np.int64, count=len(kept))
+    vecs = np.stack([np.frombuffer(r[2], dtype=np.float32, count=dim) for r in kept])
     return ids, vecs
 
 
