@@ -5,13 +5,14 @@ ORB >= 0.15 decision).  SSIM parity: both images are converted to grayscale,
 fitted to their common size with BICUBIC (``ImageOps.fit`` semantics) and
 scored with the skimage-default SSIM implemented in ops/ssim.py.
 
-ORB keypoint matching is OpenCV-specific machinery with no TPU-shaped
-equivalent; this engine replaces that secondary signal with the tile-aHash
-structural match (the verification production actually uses in the reference
-app, ui/dup_refine_parallel.py).  ``RefinedMatch.orb_ratio`` is therefore
-always None here and ``structural_ratio`` carries the tile-hash agreement in
-0..1; the decision rule keeps the reference's OR shape:
-duplicate iff ssim >= thresholds.ssim OR structural_ratio >= thresholds.structural.
+ORB keypoint matching runs on the host via OpenCV when available (the same
+binary the reference calls; crossCheck NORM_HAMMING match ratio,
+refine.py:55-68) and degrades to None otherwise.  The tile-aHash structural
+match (the verification the reference app ships in production,
+ui/dup_refine_parallel.py) is computed as a third, device-batched signal.
+The decision rule keeps the reference's OR shape:
+duplicate iff ssim >= thr.ssim OR orb_ratio >= thr.orb OR
+structural_ratio >= thr.structural.
 """
 
 from __future__ import annotations
@@ -35,7 +36,8 @@ class RefinementThresholds:
     """Decision thresholds (reference dup/refine.py:19-25)."""
 
     ssim: float = 0.9
-    structural: float = 0.85  # tile-hash agreement replacing the ORB ratio
+    orb: float = 0.15
+    structural: float = 0.85  # tile-hash agreement (additional signal)
 
 
 @dataclass(frozen=True)
@@ -46,7 +48,28 @@ class RefinedMatch:
     structural_ratio: float | None
     is_duplicate: bool
     reason: str
-    orb_ratio: float | None = None  # kept for API parity; always None
+    orb_ratio: float | None = None  # None when OpenCV is unavailable
+
+
+def compute_orb_ratio(img_a: Image.Image, img_b: Image.Image) -> float | None:
+    """crossCheck ORB match ratio (reference _compute_orb_ratio semantics:
+    matches / min keypoint count); None when OpenCV is absent."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    gray_a = np.asarray(img_a.convert("L"))
+    gray_b = np.asarray(img_b.convert("L"))
+    orb = cv2.ORB_create()
+    kp_a, desc_a = orb.detectAndCompute(gray_a, None)
+    kp_b, desc_b = orb.detectAndCompute(gray_b, None)
+    if desc_a is None or desc_b is None or not kp_a or not kp_b:
+        return 0.0
+    matcher = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+    matches = matcher.match(desc_a, desc_b)
+    if not matches:
+        return 0.0
+    return float(len(matches) / min(len(kp_a), len(kp_b)))
 
 
 def _fit_gray(img: Image.Image, size: tuple[int, int]) -> np.ndarray:
@@ -93,6 +116,7 @@ def refine_pair(
     cfg = thresholds or RefinementThresholds()
 
     ssim_value: float | None = None
+    orb_ratio: float | None = None
     structural: float | None = None
     metric_errors: list[str] = []
     try:
@@ -103,6 +127,11 @@ def refine_pair(
         logger.warning("SSIM refinement failed for %s and %s: %s", path_a, path_b, exc)
         metric_errors.append("ssim unavailable")
     try:
+        orb_ratio = compute_orb_ratio(image_a, image_b)
+    except Exception as exc:
+        logger.warning("ORB refinement failed for %s and %s: %s", path_a, path_b, exc)
+        metric_errors.append("orb unavailable")
+    try:
         structural = compute_structural_ratio(image_a, image_b)
     except Exception as exc:
         logger.warning("structural refinement failed for %s and %s: %s", path_a, path_b, exc)
@@ -112,6 +141,9 @@ def refine_pair(
     is_duplicate = False
     if ssim_value is not None and ssim_value >= cfg.ssim:
         reasons.append(f"ssim>={cfg.ssim}")
+        is_duplicate = True
+    if orb_ratio is not None and orb_ratio >= cfg.orb:
+        reasons.append(f"orb>={cfg.orb}")
         is_duplicate = True
     if structural is not None and structural >= cfg.structural:
         reasons.append(f"structural>={cfg.structural}")
@@ -125,4 +157,5 @@ def refine_pair(
         structural_ratio=structural,
         is_duplicate=is_duplicate,
         reason=reason,
+        orb_ratio=orb_ratio,
     )

@@ -90,7 +90,11 @@ def test_refine_cancellation(cluster_with_outlier):
 def test_refine_pair_and_cluster_builder(tmp_path, rng):
     base = rng.integers(0, 256, size=(96, 80, 3), dtype=np.uint8)
     near = np.clip(base.astype(np.int16) + rng.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
-    far = rng.integers(0, 256, size=(96, 80, 3), dtype=np.uint8)
+    # the unrelated image must be a smooth gradient, not iid noise: real ORB
+    # (faithful to the reference) cross-matches random-noise textures at high
+    # ratios, which is reference behavior, not a bug in our port
+    yy, xx = np.mgrid[0:96, 0:80]
+    far = np.stack([(yy * 2) % 256, (xx * 3) % 256, ((yy + xx)) % 256], axis=-1).astype(np.uint8)
     p1 = _save(tmp_path, "a.png", base)
     p2 = _save(tmp_path, "b.png", near)
     p3 = _save(tmp_path, "c.png", far)
@@ -117,3 +121,21 @@ def test_refine_pair_unloadable_returns_none(tmp_path):
     good = tmp_path / "ok.png"
     Image.new("RGB", (32, 32), (10, 20, 30)).save(good)
     assert refine_pair(1, 2, bad, good) is None
+
+
+def test_orb_ratio_real_cv2(rng):
+    """True ORB parity: identical images match strongly, noise doesn't."""
+    pytest.importorskip("cv2")
+    from PIL import Image
+
+    from kobato_eyes_tpu.dup.refine import compute_orb_ratio
+
+    base = np.random.default_rng(3).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    img = Image.fromarray(base, "RGB").resize((256, 256), Image.Resampling.BICUBIC)
+    same = compute_orb_ratio(img, img)
+    assert same is not None and same > 0.5
+
+    other_arr = np.random.default_rng(99).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    other = Image.fromarray(other_arr, "RGB").resize((256, 256), Image.Resampling.BICUBIC)
+    diff = compute_orb_ratio(img, other)
+    assert diff is not None and diff < same
