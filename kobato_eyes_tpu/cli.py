@@ -320,6 +320,15 @@ def cmd_stats(args) -> int:
             conn, category=args.category, name_like=args.filter,
             thresholds=load_tag_thresholds(conn), limit=args.limit,
         )
+        if args.export:
+            out = _export_csv(args.export, [
+                {"name": r["name"], "category": r["category"],
+                 "file_count": r["file_count"],
+                 "avg_score": round(r["avg_score"], 4),
+                 "max_score": round(r["max_score"], 4)}
+                for r in rows
+            ])
+            print(f"exported {len(rows)} rows to {out}", file=sys.stderr)
         for r in rows:
             print(f"{r['file_count']:8d}  {r['avg_score']:.3f}  {r['max_score']:.3f}  "
                   f"[{r['category']}] {r['name']}")
@@ -542,6 +551,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--category", type=int)
     p.add_argument("--filter", help="name substring")
     p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--export", help="CSV file or directory")
     p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("complete", help="tag autocomplete")
