@@ -35,6 +35,8 @@ class TpuDuplicateScanner:
         self._scanner = BandedHammingScanner(
             band_bits=self._config.band_bits, band_count=self._config.band_count
         )
+        # per-file string sort keys survive across scans (service steady state)
+        self._key_cache: dict[int, tuple[str, str, str, str, int]] = {}
 
     @property
     def config(self) -> DuplicateScanConfig:
@@ -69,7 +71,8 @@ class TpuDuplicateScanner:
         for t in thresholds:
             keep = dists <= t
             out[t] = assemble_clusters(
-                files_by_id, (ids[ei[keep]], ids[ej[keep]], dists[keep])
+                files_by_id, (ids[ei[keep]], ids[ej[keep]], dists[keep]),
+                key_cache=self._key_cache,
             ) if len(unique) >= 2 else []
         return out
 
@@ -85,7 +88,9 @@ class TpuDuplicateScanner:
         with metrics.timer("dup.assemble"):
             files_by_id = dict(zip(ids.tolist(), unique))
             # array fast path into the vectorized assembly (no per-edge tuples)
-            clusters = assemble_clusters(files_by_id, (ids[ei], ids[ej], dists))
+            clusters = assemble_clusters(
+                files_by_id, (ids[ei], ids[ej], dists), key_cache=self._key_cache
+            )
         logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
         return clusters
 

@@ -121,6 +121,8 @@ def cluster_sort_key(cluster: DuplicateCluster) -> tuple:
 def assemble_clusters(
     files_by_id: dict[int, DuplicateFileMeta],
     edges: Sequence[tuple[int, int, int | None]],
+    *,
+    key_cache: dict[int, tuple[str, str, str, str, int]] | None = None,
 ) -> list[DuplicateCluster]:
     """Edges (file_id_a, file_id_b, hamming) -> ordered clusters (vectorized).
 
@@ -180,19 +182,26 @@ def assemble_clusters(
     suffix_l: list[str] = []
     extpri_np = np.zeros(k, dtype=np.int64)
     for i, mt in enumerate(metas):
-        # pathlib-name semantics: split only on '/' (a backslash is a legal
-        # POSIX filename character and must stay part of the name key)
-        p = str(mt.path).lower()
-        name = p.rsplit("/", 1)[-1]
-        stem, dot, ext = name.rpartition(".")
-        # pathlib suffix semantics: '' for dotfiles ('.hidden') AND for
-        # trailing dots ('name.')
-        sfx = ("." + ext) if (stem and ext) else ""
+        fid = mt.file_id
+        cached = key_cache.get(fid) if key_cache is not None else None
+        if cached is not None and cached[0] == str(mt.path):
+            _, p, name, sfx, pri = cached
+        else:
+            # pathlib-name semantics: split only on '/' (a backslash is a
+            # legal POSIX filename character and stays part of the name key)
+            p = str(mt.path).lower()
+            name = p.rsplit("/", 1)[-1]
+            stem, dot, ext = name.rpartition(".")
+            # pathlib suffix semantics: '' for dotfiles ('.hidden') AND for
+            # trailing dots ('name.')
+            sfx = ("." + ext) if (stem and ext) else ""
+            pri = EXTENSION_PRIORITY.get(ext, 0) if sfx else 0
+            if key_cache is not None:
+                key_cache[fid] = (str(mt.path), p, name, sfx, pri)
         pathlow_l.append(p)
         namelow_l.append(name)
         suffix_l.append(sfx)
-        if sfx:
-            extpri_np[i] = EXTENSION_PRIORITY.get(ext, 0)
+        extpri_np[i] = pri
     pathlow = np.array(pathlow_l)
     namelow = np.array(namelow_l)
     suffix = np.array(suffix_l)
