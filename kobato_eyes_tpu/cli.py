@@ -368,6 +368,32 @@ def cmd_thresholds(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Fine-tune a tagger on the indexed library's own labels."""
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.core.finetune import finetune_from_catalog
+    from kobato_eyes_tpu.utils.paths import get_app_paths
+
+    out = args.out or str(
+        get_app_paths(args.data_dir or settings.data_dir).ensure().index_dir
+        / f"finetuned_{time.strftime('%Y%m%d_%H%M%S')}"
+    )
+    result = finetune_from_catalog(
+        db,
+        preset=args.preset, image_size=args.image_size, epochs=args.epochs,
+        batch_size=args.batch_size, learning_rate=args.lr,
+        min_tag_count=args.min_tag_count, limit=args.limit,
+        io_workers=settings.pipeline.io_workers, checkpoint_out=out,
+    )
+    print(json.dumps({
+        "files": result.files, "labels": result.labels, "steps": result.steps,
+        "first_loss": result.first_loss, "final_loss": result.final_loss,
+        "checkpoint": result.checkpoint, "labels_csv": result.labels_csv,
+        "elapsed_sec": round(result.elapsed_sec, 1),
+    }))
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Model/checkpoint inspection (reference settings-tab model feedback)."""
     settings, _db = _load_env(args)
@@ -562,6 +588,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("thresholds", help="get/set per-category search thresholds")
     p.add_argument("--set", action="append", metavar="CAT=VALUE")
     p.set_defaults(fn=cmd_thresholds)
+
+    p = sub.add_parser("train", help="fine-tune a tagger on the library's labels")
+    p.add_argument("--preset", default="base")
+    p.add_argument("--image-size", type=int, default=448)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--min-tag-count", type=int, default=1)
+    p.add_argument("--limit", type=int)
+    p.add_argument("--out", help="checkpoint output path")
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("inspect", help="inspect a tagger checkpoint / label file")
     p.add_argument("--checkpoint")
