@@ -109,8 +109,9 @@ def _assemble_epoch(
     order = np.argsort(t_idx, kind="stable")
     t_idx, r_idx, sc = t_idx[order], r_idx[order], sc[order]
     offsets = np.zeros(len(tag_names) + 1, dtype=np.int64)
-    np.add.at(offsets, t_idx + 1, 1)
-    np.cumsum(offsets, out=offsets)
+    # bincount instead of np.add.at (ufunc.at is ~20x slower at 10M entries)
+    counts = np.bincount(t_idx, minlength=len(tag_names))
+    offsets[1:] = np.cumsum(counts)
 
     n = len(file_ids)
     cat_max = np.zeros((n, _NUM_CATEGORIES), dtype=np.float32)
@@ -118,8 +119,18 @@ def _assemble_epoch(
     if len(t_idx):
         cats_of_entries = tag_cats[t_idx]
         valid = (cats_of_entries >= 0) & (cats_of_entries < _NUM_CATEGORIES)
-        np.maximum.at(cat_max, (r_idx[valid], cats_of_entries[valid]), sc[valid])
-        cat_present[r_idx[valid], cats_of_entries[valid]] = True
+        # grouped max via sort + reduceat (np.maximum.at dominated 300k builds)
+        cell = r_idx[valid].astype(np.int64) * _NUM_CATEGORIES + cats_of_entries[valid]
+        sv = sc[valid].astype(np.float32)
+        corder = np.argsort(cell, kind="stable")
+        cell_s = cell[corder]
+        sv_s = sv[corder]
+        if len(cell_s):
+            starts = np.concatenate([[0], np.nonzero(np.diff(cell_s))[0] + 1])
+            maxima = np.maximum.reduceat(sv_s, starts)
+            cells = cell_s[starts]
+            cat_max.reshape(-1)[cells] = maxima
+            cat_present.reshape(-1)[cells] = True
 
     return TagIndexEpoch(
         version=version,
