@@ -105,15 +105,51 @@ def _assemble_epoch(
     t_idx: np.ndarray,  # (nnz,) tag row per entry
     r_idx: np.ndarray,  # (nnz,) file row per entry
     sc: np.ndarray,  # (nnz,) float32 scores
+    presorted: bool = False,  # t_idx already tag-sorted (delta merge path)
+    panels: tuple[jnp.ndarray, jnp.ndarray] | None = None,  # precomputed device panels
 ) -> TagIndexEpoch:
-    order = np.argsort(t_idx, kind="stable")
-    t_idx, r_idx, sc = t_idx[order], r_idx[order], sc[order]
+    if not presorted:
+        order = np.argsort(t_idx, kind="stable")
+        t_idx, r_idx, sc = t_idx[order], r_idx[order], sc[order]
     offsets = np.zeros(len(tag_names) + 1, dtype=np.int64)
     # bincount instead of np.add.at (ufunc.at is ~20x slower at 10M entries)
     counts = np.bincount(t_idx, minlength=len(tag_names))
     offsets[1:] = np.cumsum(counts)
 
     n = len(file_ids)
+    if panels is not None:
+        cat_max_dev, cat_present_dev = panels
+    else:
+        cat_max, cat_present = _category_panels(n, t_idx, r_idx, sc, tag_cats)
+        cat_max_dev = jnp.asarray(cat_max)
+        cat_present_dev = jnp.asarray(cat_present)
+
+    return TagIndexEpoch(
+        version=version,
+        file_ids=file_ids,
+        mtimes=mtimes,
+        paths=paths,
+        tag_names=tag_names,
+        tag_cats=tag_cats,
+        name_to_tid={name: i for i, name in enumerate(tag_names)},
+        offsets=offsets,
+        rows_dev=jnp.asarray(r_idx.astype(np.int32)),
+        scores_dev=jnp.asarray(sc.astype(np.float32)),
+        rows_np=r_idx.astype(np.int32),
+        scores_np=sc.astype(np.float64),
+        cat_max_dev=cat_max_dev,
+        cat_present_dev=cat_present_dev,
+    )
+
+
+def _category_panels(
+    n: int,
+    t_idx: np.ndarray,
+    r_idx: np.ndarray,
+    sc: np.ndarray,
+    tag_cats: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-(file, category) max-score + presence panels."""
     cat_max = np.zeros((n, _NUM_CATEGORIES), dtype=np.float32)
     cat_present = np.zeros((n, _NUM_CATEGORIES), dtype=bool)
     if len(t_idx):
@@ -131,23 +167,7 @@ def _assemble_epoch(
             cells = cell_s[starts]
             cat_max.reshape(-1)[cells] = maxima
             cat_present.reshape(-1)[cells] = True
-
-    return TagIndexEpoch(
-        version=version,
-        file_ids=file_ids,
-        mtimes=mtimes,
-        paths=paths,
-        tag_names=tag_names,
-        tag_cats=tag_cats,
-        name_to_tid={name: i for i, name in enumerate(tag_names)},
-        offsets=offsets,
-        rows_dev=jnp.asarray(r_idx.astype(np.int32)),
-        scores_dev=jnp.asarray(sc.astype(np.float32)),
-        rows_np=r_idx.astype(np.int32),
-        scores_np=sc.astype(np.float64),
-        cat_max_dev=jnp.asarray(cat_max),
-        cat_present_dev=jnp.asarray(cat_present),
-    )
+    return cat_max, cat_present
 
 
 def _raw_cursor(conn: sqlite3.Connection) -> sqlite3.Cursor:
@@ -292,6 +312,13 @@ def update_epoch(
     ok_t = s_t_old >= 0
     s_rows, s_t, s_sc = s_rows[ok_t], s_t_old[ok_t], s_sc[ok_t]
 
+    # Vocabulary append-only fast path: if prior tags map to identical new
+    # tids, the surviving postings are already tag-sorted and new postings
+    # can be MERGED in instead of globally re-sorting 10M+ entries.
+    vocab_append_only = len(prev_tid_map) <= nt and bool(
+        (prev_tid_map == np.arange(len(prev_tid_map))).all()
+    )
+
     # fresh postings for the changed-and-alive files
     if len(add_ids):
         ph = ",".join("?" * len(add_ids))
@@ -300,16 +327,56 @@ def update_epoch(
         )
         n_rows = np.searchsorted(file_ids, fid).astype(np.int32)
         n_t = np.searchsorted(tag_db_ids, tid_db)
-        t_idx = np.concatenate([s_t, n_t])
-        r_idx = np.concatenate([s_rows, n_rows])
-        scores = np.concatenate([s_sc, sc])
+        if vocab_append_only:
+            norder = np.argsort(n_t, kind="stable")
+            n_t, n_rows, sc, fid = n_t[norder], n_rows[norder], sc[norder], fid[norder]
+            where = np.searchsorted(s_t, n_t, side="right")
+            t_idx = np.insert(s_t, where, n_t)
+            r_idx = np.insert(s_rows, where, n_rows)
+            scores = np.insert(s_sc, where, sc)
+        else:
+            t_idx = np.concatenate([s_t, n_t])
+            r_idx = np.concatenate([s_rows, n_rows])
+            scores = np.concatenate([s_sc, sc])
     else:
         t_idx, r_idx, scores = s_t, s_rows, s_sc
+
+    # Panels: gather unchanged rows from the previous epoch ON DEVICE, set
+    # the changed/added rows from their (tiny) postings.
+    panels = None
+    if vocab_append_only:
+        n_new = len(file_ids)
+        new_to_old = np.searchsorted(prev_ids, file_ids)
+        new_to_old = np.minimum(new_to_old, max(len(prev_ids) - 1, 0))
+        from_prev = (
+            (prev_ids[new_to_old] == file_ids) & ~np.isin(file_ids, add_ids)
+            if len(prev_ids)
+            else np.zeros(n_new, dtype=bool)
+        )
+        src = np.where(from_prev, new_to_old, 0).astype(np.int32)
+        keep_col = jnp.asarray(from_prev)[:, None]
+        cat_max_dev = jnp.where(
+            keep_col, prev.cat_max_dev[jnp.asarray(src)], 0.0
+        )
+        cat_present_dev = jnp.where(
+            keep_col, prev.cat_present_dev[jnp.asarray(src)], False
+        )
+        if len(add_ids):
+            # panels for just the added rows, computed densely on host
+            add_rows_new = np.searchsorted(file_ids, add_ids)
+            local = np.searchsorted(add_ids, fid).astype(np.int32)
+            amax, apresent = _category_panels(len(add_ids), n_t, local, sc, tag_cats)
+            cat_max_dev = cat_max_dev.at[jnp.asarray(add_rows_new)].set(jnp.asarray(amax))
+            cat_present_dev = cat_present_dev.at[jnp.asarray(add_rows_new)].set(
+                jnp.asarray(apresent)
+            )
+        panels = (cat_max_dev, cat_present_dev)
 
     epoch = _assemble_epoch(
         version=version, file_ids=file_ids, mtimes=mtimes_all, paths=paths_all,
         tag_names=tag_names, tag_cats=tag_cats,
         t_idx=t_idx, r_idx=r_idx, sc=scores,
+        presorted=vocab_append_only, panels=panels,
     )
     logger.info(
         "epoch v%d delta: files=%d (+%d changed) nnz=%d in %.3fs",
