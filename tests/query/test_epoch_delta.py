@@ -92,3 +92,18 @@ def test_manager_delta_path(conn):
     assert epoch.version == 2
     _assert_equivalent(epoch, build_epoch(conn, version=2))
     assert mgr.apply_delta(conn, []) is epoch  # no changes -> same epoch
+
+
+def test_delta_vocab_shrink_falls_back(conn):
+    """Deleting a tag row (non-append vocabulary) must still equal a rebuild."""
+    prev = build_epoch(conn, version=1)
+    # hard-delete the 'gamma' tag definition + its postings
+    row = conn.execute("SELECT id FROM tags WHERE name='gamma'").fetchone()
+    with conn:
+        conn.execute("DELETE FROM file_tags WHERE tag_id=?", (int(row[0]),))
+        conn.execute("DELETE FROM tags WHERE id=?", (int(row[0]),))
+    # every file that had gamma changed; simplest correct delta input: all ids
+    all_ids = [int(r[0]) for r in conn.execute("SELECT id FROM files")]
+    delta = update_epoch(conn, prev, changed_file_ids=all_ids, version=2)
+    _assert_equivalent(delta, build_epoch(conn, version=2))
+    assert "gamma" not in delta.name_to_tid
