@@ -446,6 +446,59 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_repl(args) -> int:
+    """Interactive query loop over a resident epoch (steady-state serving).
+
+    Unlike ``ket search`` (one process per query), the epoch stays on device
+    and each query is one compiled dispatch — the production latency path.
+    Reads one query per line from stdin; ':reload' rebuilds the epoch,
+    ':quit' exits.
+    """
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import load_tag_thresholds
+    from kobato_eyes_tpu.query.engine import EpochManager, search_epoch
+
+    conn = bootstrap(db)
+    manager = EpochManager()
+    manager.rebuild(conn)
+    thresholds = load_tag_thresholds(conn)
+    print(
+        f"epoch v{manager.current.version}: {manager.current.num_files} files, "
+        f"{manager.current.num_tags} tags; ':reload' to rebuild, ':quit' to exit",
+        file=sys.stderr,
+    )
+    try:
+        for line in sys.stdin:
+            query = line.strip()
+            if not query:
+                continue
+            if query == ":quit":
+                break
+            if query == ":reload":
+                manager.rebuild(conn)
+                thresholds = load_tag_thresholds(conn)
+                print(f"epoch v{manager.current.version} rebuilt", file=sys.stderr)
+                continue
+            t0 = time.perf_counter()
+            try:
+                rows = search_epoch(
+                    manager.current, query, thresholds=thresholds, limit=args.limit
+                )
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                continue
+            for r in rows:
+                print(f"{r.relevance:8.3f}  {r.path}")
+            print(
+                f"{len(rows)} results in {(time.perf_counter() - t0) * 1000:.1f} ms",
+                file=sys.stderr,
+            )
+    finally:
+        conn.close()
+    return 0
+
+
 def cmd_config(args) -> int:
     settings = load_settings(args.config)
     if args.init:
@@ -614,6 +667,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("root", nargs="*")
     p.add_argument("--interval", type=float, default=2.0)
     p.set_defaults(fn=cmd_watch)
+
+    p = sub.add_parser("repl", help="interactive query loop (resident epoch)")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_repl)
 
     p = sub.add_parser("config", help="show or init settings")
     p.add_argument("--init", action="store_true")

@@ -109,3 +109,16 @@ def test_inspect_and_reset(env, capsys, tmp_path):
     assert main([*base, "reset", "--yes"]) == 0
     backups = json.loads(capsys.readouterr().out)["backups"]
     assert backups
+
+
+def test_repl(env, capsys, monkeypatch):
+    import io
+
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    monkeypatch.setattr("sys.stdin", io.StringIO("1girl\n:reload\n1girl -missing\n:quit\n"))
+    assert main([*base, "repl", "--limit", "100"]) == 0
+    out = capsys.readouterr().out
+    # both queries returned every dummy-tagged file
+    assert out.count(".png") + out.count(".jpg") == 2 * len(paths)
