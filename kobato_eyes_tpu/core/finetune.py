@@ -60,26 +60,44 @@ def _load_training_set(db_path: str | Path, *, min_tag_count: int, limit: int | 
             """,
             (min_tag_count,),
         ).fetchall()
-        tag_pos = {int(r["id"]): i for i, r in enumerate(vocab_rows)}
+        vocab_ids = np.array([int(r["id"]) for r in vocab_rows], dtype=np.int64)
         vocab = [(r["name"], int(r["category"]), int(r["n"])) for r in vocab_rows]
 
+        limit_sql = "" if limit is None else f"LIMIT {int(limit)}"
         file_rows = conn.execute(
-            """
+            f"""
             SELECT DISTINCT f.id, f.path, f.size, f.mtime FROM files f
             JOIN file_tags ft ON ft.file_id = f.id
-            WHERE f.is_present = 1 ORDER BY f.id
+            WHERE f.is_present = 1 ORDER BY f.id {limit_sql}
             """
         ).fetchall()
-        if limit is not None:
-            file_rows = file_rows[:limit]
-        row_of_file = {int(r["id"]): i for i, r in enumerate(file_rows)}
+        file_ids = np.array([int(r["id"]) for r in file_rows], dtype=np.int64)
 
+        # postings restricted to the selected files, fetched as raw tuples
+        # (the vectorized pattern from query/engine.py: sqlite3.Row access
+        # dominates at multi-million-row scale)
+        cur = conn.cursor()
+        cur.row_factory = None  # type: ignore[assignment]
         targets = np.zeros((len(file_rows), len(vocab)), dtype=np.float32)
-        for fid, tid in conn.execute("SELECT file_id, tag_id FROM file_tags"):
-            fi = row_of_file.get(int(fid))
-            ti = tag_pos.get(int(tid))
-            if fi is not None and ti is not None:
-                targets[fi, ti] = 1.0
+        if not len(vocab_ids):
+            file_ids = file_ids[:0]  # nothing trainable; skip the posting scan
+        for start in range(0, len(file_ids), 900):
+            chunk = file_ids[start : start + 900]
+            ph = ",".join("?" * len(chunk))
+            rows = cur.execute(
+                f"SELECT file_id, tag_id FROM file_tags WHERE file_id IN ({ph})",
+                chunk.tolist(),
+            ).fetchall()
+            if not rows:
+                continue
+            fid = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+            tid = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+            fi = np.searchsorted(file_ids, fid)
+            ti = np.searchsorted(vocab_ids, tid)
+            ok = (fi < len(file_ids)) & (ti < len(vocab_ids))
+            ok &= file_ids[np.minimum(fi, len(file_ids) - 1)] == fid
+            ok &= vocab_ids[np.minimum(ti, max(len(vocab_ids) - 1, 0))] == tid
+            targets[fi[ok], ti[ok]] = 1.0
 
         records = [
             FileRecord(
@@ -154,8 +172,11 @@ def finetune_from_catalog(
                 result.first_loss = loss_f
             result.steps += 1
         result.epochs = epoch + 1
-        logger.info("finetune epoch %d: %d steps, loss=%.4f",
-                    epoch + 1, result.steps, result.loss_history[-1])
+        if result.loss_history:
+            logger.info("finetune epoch %d: %d steps, loss=%.4f",
+                        epoch + 1, result.steps, result.loss_history[-1])
+        else:
+            logger.warning("finetune epoch %d completed zero steps", epoch + 1)
     result.final_loss = result.loss_history[-1] if result.loss_history else None
 
     if checkpoint_out is not None and result.steps:
@@ -174,7 +195,11 @@ def finetune_from_catalog(
             writer = csv.writer(fh)
             writer.writerow(["name", "category", "count"])
             for name, category, count in vocab:
-                writer.writerow([name, TagCategory(category).name.lower(), count])
+                try:
+                    cat_name: str | int = TagCategory(category).name.lower()
+                except ValueError:
+                    cat_name = category  # out-of-enum categories round-trip numerically
+                writer.writerow([name, cat_name, count])
         result.checkpoint = str(out)
         result.labels_csv = str(csv_path)
     result.elapsed_sec = time.perf_counter() - t0

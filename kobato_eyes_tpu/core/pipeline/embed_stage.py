@@ -85,21 +85,28 @@ def load_embeddings(
 
 
 def missing_embedding_records(
-    conn: sqlite3.Connection, records: Sequence[FileRecord], *, model: str = EMBED_MODEL_NAME
+    conn: sqlite3.Connection,
+    records: Sequence[FileRecord],
+    *,
+    model: str = EMBED_MODEL_NAME,
+    expected_dim: int | None = None,
 ) -> list[FileRecord]:
-    """Records needing a vector: no row yet, OR the file's bytes changed
-    (stale vectors would silently poison ANN results forever)."""
+    """Records needing a vector: no row yet, the file's bytes changed (stale
+    vectors would silently poison ANN results forever), or the stored row has
+    a different dimensionality than the configured embedder (embed_dim config
+    changes re-embed the library instead of stranding mixed dims)."""
     ids = [r.file_id for r in records]
     have: set[int] = set()
     for start in range(0, len(ids), 900):
         chunk = ids[start : start + 900]
         ph = ",".join("?" * len(chunk))
+        rows = conn.execute(
+            f"SELECT file_id, dim FROM embeddings WHERE model = ? AND file_id IN ({ph})",
+            [model, *chunk],
+        ).fetchall()
         have.update(
-            int(r[0])
-            for r in conn.execute(
-                f"SELECT file_id FROM embeddings WHERE model = ? AND file_id IN ({ph})",
-                [model, *chunk],
-            )
+            int(r[0]) for r in rows
+            if expected_dim is None or int(r[1]) == expected_dim
         )
     return [r for r in records if r.file_id not in have or r.content_changed]
 
@@ -129,7 +136,10 @@ class EmbedStage:
         progress: ProgressEmitter,
     ) -> EmbedStageResult:
         t0 = time.perf_counter()
-        todo = missing_embedding_records(conn, list(records), model=self._model)
+        todo = missing_embedding_records(
+            conn, list(records), model=self._model,
+            expected_dim=getattr(self._embedder, "embed_dim", None),
+        )
         result = EmbedStageResult()
         if not todo:
             return result

@@ -312,11 +312,15 @@ def update_epoch(
     ok_t = s_t_old >= 0
     s_rows, s_t, s_sc = s_rows[ok_t], s_t_old[ok_t], s_sc[ok_t]
 
-    # Vocabulary append-only fast path: if prior tags map to identical new
-    # tids, the surviving postings are already tag-sorted and new postings
-    # can be MERGED in instead of globally re-sorting 10M+ entries.
-    vocab_append_only = len(prev_tid_map) <= nt and bool(
-        (prev_tid_map == np.arange(len(prev_tid_map))).all()
+    # Vocabulary append-only fast path: prior tags must map to identical new
+    # tids AND keep their categories (the reused per-category panels bake the
+    # old categories in); then surviving postings stay tag-sorted and new
+    # postings MERGE in instead of globally re-sorting 10M+ entries.
+    np_prev = len(prev_tid_map)
+    vocab_append_only = (
+        np_prev <= nt
+        and bool((prev_tid_map == np.arange(np_prev)).all())
+        and bool((tag_cats[:np_prev] == prev.tag_cats).all())
     )
 
     # fresh postings for the changed-and-alive files

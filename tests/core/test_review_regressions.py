@@ -112,3 +112,54 @@ def test_load_embeddings_mixed_dims(tmp_path):
         assert set(ids.tolist()) == {a, b}
     finally:
         conn.close()
+
+
+def test_embed_dim_change_reembeds(tmp_path, image_dir):
+    """Changing index.embed_dim re-embeds the library (no stranded dims)."""
+    reset_bootstrap_cache()
+    root, paths = image_dir
+    db = tmp_path / "dim.sqlite"
+
+    def settings_for(dim):
+        return Settings(
+            pipeline=PipelineSettings(roots=[root], batch_size=2),
+            index=IndexSettings(enabled=True, embed_dim=dim, preset="tiny",
+                                image_size=64, patch_size=16),
+        )
+
+    run_index_once(db, settings_for(64), DummyTagger())
+    stats = run_index_once(db, settings_for(32), DummyTagger())
+    assert stats.extra["embedded"] == len(paths)  # full re-embed at the new dim
+    conn = bootstrap(db)
+    try:
+        ids, vecs = load_embeddings(conn)
+    finally:
+        conn.close()
+    assert vecs.shape == (len(paths), 32)  # no mixed dims remain
+
+
+def test_delta_category_change_falls_back(tmp_path):
+    """A tag-category edit must invalidate the delta fast path's panels."""
+    from kobato_eyes_tpu.db.repository import TaggingItem, upsert_file, write_tagging_batch
+    from kobato_eyes_tpu.query.engine import build_epoch, search_epoch, update_epoch
+
+    reset_bootstrap_cache()
+    conn = bootstrap(tmp_path / "cat.sqlite")
+    try:
+        items = []
+        for i in range(12):
+            fid = upsert_file(conn, path=f"/c/{i}.png", mtime=1e9 + i)
+            items.append(TaggingItem(fid, [("alpha", 0.9, 0)]))
+        write_tagging_batch(conn, items)
+        prev = build_epoch(conn, version=1)
+        with conn:
+            conn.execute("UPDATE tags SET category=4 WHERE name='alpha'")
+        fid = upsert_file(conn, path="/c/new.png", mtime=2e9)
+        write_tagging_batch(conn, [TaggingItem(fid, [("alpha", 0.8, 4)])])
+        delta = update_epoch(conn, prev, changed_file_ids=[fid], version=2)
+        full = build_epoch(conn, version=2)
+        a = [r.file_id for r in search_epoch(delta, "category:character", order_by="id")]
+        b = [r.file_id for r in search_epoch(full, "category:character", order_by="id")]
+        assert a == b and len(a) == 13
+    finally:
+        conn.close()
