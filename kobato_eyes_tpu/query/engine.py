@@ -64,6 +64,7 @@ class TagIndexEpoch:
     # host-side file metadata (ordering + result assembly)
     file_ids: np.ndarray  # (N,) int64
     mtimes: np.ndarray  # (N,) float64
+    sizes: np.ndarray  # (N,) int64
     paths: list[str]
     # tag vocabulary
     tag_names: list[str]
@@ -99,6 +100,7 @@ def _assemble_epoch(
     version: int,
     file_ids: np.ndarray,
     mtimes: np.ndarray,
+    sizes: np.ndarray,
     paths: list[str],
     tag_names: list[str],
     tag_cats: np.ndarray,
@@ -128,6 +130,7 @@ def _assemble_epoch(
         version=version,
         file_ids=file_ids,
         mtimes=mtimes,
+        sizes=sizes,
         paths=paths,
         tag_names=tag_names,
         tag_cats=tag_cats,
@@ -197,12 +200,13 @@ def build_epoch(conn: sqlite3.Connection, *, version: int = 0) -> TagIndexEpoch:
     """Snapshot the catalog's present files into a device epoch."""
     t0 = time.perf_counter()
     files = _raw_cursor(conn).execute(
-        "SELECT id, path, mtime FROM files WHERE is_present = 1 ORDER BY id"
+        "SELECT id, path, mtime, size FROM files WHERE is_present = 1 ORDER BY id"
     ).fetchall()
     nf = len(files)
     file_ids = np.fromiter((r[0] for r in files), dtype=np.int64, count=nf)
     paths = [r[1] for r in files]
     mtimes = np.fromiter((r[2] or 0.0 for r in files), dtype=np.float64, count=nf)
+    sizes_arr = np.fromiter((r[3] or 0 for r in files), dtype=np.int64, count=nf)
 
     tags = _raw_cursor(conn).execute(
         "SELECT id, name, category FROM tags ORDER BY id"
@@ -228,8 +232,8 @@ def build_epoch(conn: sqlite3.Connection, *, version: int = 0) -> TagIndexEpoch:
         valid = np.zeros(0, dtype=bool)
 
     epoch = _assemble_epoch(
-        version=version, file_ids=file_ids, mtimes=mtimes, paths=paths,
-        tag_names=tag_names, tag_cats=tag_cats,
+        version=version, file_ids=file_ids, mtimes=mtimes, sizes=sizes_arr,
+        paths=paths, tag_names=tag_names, tag_cats=tag_cats,
         t_idx=t_idx[valid], r_idx=r_idx[valid].astype(np.int32), sc=sc[valid],
     )
     logger.info(
@@ -260,10 +264,10 @@ def update_epoch(
     # current state of the changed ids (which still exist & are present)
     placeholders = ",".join("?" * len(changed))
     cur_rows = conn.execute(
-        f"SELECT id, path, mtime FROM files WHERE is_present = 1 AND id IN ({placeholders})",
+        f"SELECT id, path, mtime, size FROM files WHERE is_present = 1 AND id IN ({placeholders})",
         changed.tolist(),
     ).fetchall() if len(changed) else []
-    alive = {int(r[0]): (r[1], float(r[2] or 0.0)) for r in cur_rows}
+    alive = {int(r[0]): (r[1], float(r[2] or 0.0), int(r[3] or 0)) for r in cur_rows}
 
     # new file axis: previous files minus changed-and-gone, plus changed-and-alive
     prev_ids = prev.file_ids
@@ -277,14 +281,16 @@ def update_epoch(
     prev_pos = {int(f): i for i, f in enumerate(prev_ids.tolist())}
     paths_all = []
     mtimes_all = np.empty(len(file_ids), dtype=np.float64)
+    sizes_all = np.empty(len(file_ids), dtype=np.int64)
     for i, f in enumerate(file_ids.tolist()):
         if f in alive:
-            p, mt = alive[f]
+            p, mt, sz = alive[f]
         else:
             j = prev_pos[f]
-            p, mt = prev.paths[j], float(prev.mtimes[j])
+            p, mt, sz = prev.paths[j], float(prev.mtimes[j]), int(prev.sizes[j])
         paths_all.append(p)
         mtimes_all[i] = mt
+        sizes_all[i] = sz
 
     # refreshed tag vocabulary (append-only in practice)
     tags = _raw_cursor(conn).execute("SELECT id, name, category FROM tags ORDER BY id").fetchall()
@@ -377,8 +383,8 @@ def update_epoch(
         panels = (cat_max_dev, cat_present_dev)
 
     epoch = _assemble_epoch(
-        version=version, file_ids=file_ids, mtimes=mtimes_all, paths=paths_all,
-        tag_names=tag_names, tag_cats=tag_cats,
+        version=version, file_ids=file_ids, mtimes=mtimes_all, sizes=sizes_all,
+        paths=paths_all, tag_names=tag_names, tag_cats=tag_cats,
         t_idx=t_idx, r_idx=r_idx, sc=scores,
         presorted=vocab_append_only, panels=panels,
     )
@@ -399,6 +405,7 @@ class DeviceSearchResult:
     file_id: int
     path: str
     mtime: float
+    size: int
     relevance: float
 
 
@@ -520,6 +527,7 @@ def search_epoch(
             file_id=int(epoch.file_ids[i]),
             path=epoch.paths[i],
             mtime=float(epoch.mtimes[i]),
+            size=int(epoch.sizes[i]),
             relevance=float(rel[i]),
         )
         for i in chosen

@@ -30,6 +30,7 @@ def save_epoch(epoch: TagIndexEpoch, path: str | Path) -> Path:
         tmp_npz,
         file_ids=epoch.file_ids,
         mtimes=epoch.mtimes,
+        sizes=epoch.sizes,
         tag_cats=epoch.tag_cats,
         offsets=epoch.offsets,
         rows=epoch.rows_np,
@@ -80,6 +81,11 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         version=int(meta["version"]),
         file_ids=arrays["file_ids"],
         mtimes=arrays["mtimes"],
+        sizes=(
+            arrays["sizes"]
+            if "sizes" in arrays.files
+            else np.zeros(len(arrays["file_ids"]), np.int64)  # pre-sizes snapshots
+        ),
         paths=list(meta["paths"]),
         tag_names=tag_names,
         tag_cats=arrays["tag_cats"],
