@@ -59,3 +59,38 @@ def test_resident_scan_on_tpu(tpu_backend, rng):
     assert {(a, b) for a, b in zip(got[0], got[1])} == {
         (a, b) for a, b in zip(want[0], want[1])
     }
+
+
+def test_query_engine_on_tpu(tpu_backend, tmp_path):
+    from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+    from kobato_eyes_tpu.db.repository import TaggingItem, upsert_file, write_tagging_batch
+    from kobato_eyes_tpu.query.engine import build_epoch, search_epoch
+
+    reset_bootstrap_cache()
+    conn = bootstrap(tmp_path / "t.sqlite")
+    try:
+        for i in range(50):
+            fid = upsert_file(conn, path=f"/t/{i}.png", mtime=1e9 + i)
+            tags = [("alpha", 0.9, 0)] if i % 2 == 0 else [("beta", 0.7, 0)]
+            write_tagging_batch(conn, [TaggingItem(fid, tags)])
+        epoch = build_epoch(conn)
+    finally:
+        conn.close()
+    hits = search_epoch(epoch, "alpha -beta", order_by="id", limit=100)
+    assert len(hits) == 25
+
+
+def test_swin_forward_on_tpu(tpu_backend, rng):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kobato_eyes_tpu.models.swin import SwinV2, init_swin_params, swin_config
+
+    cfg = swin_config(
+        "tiny", image_size=32, patch_size=4, window_size=4,
+        embed_dim=32, depths=(2,), num_heads=(2,), num_classes=16,
+    )
+    params = init_swin_params(cfg)
+    x = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)).astype(jnp.float32)
+    logits = SwinV2(cfg).apply({"params": params}, x)
+    assert logits.shape == (2, 16) and bool(jnp.isfinite(logits).all())
