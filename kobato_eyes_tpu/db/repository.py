@@ -20,6 +20,28 @@ from kobato_eyes_tpu.models.base import TagCategory
 
 _CHUNK = 900  # SQLite parameter-count safety (reference uses 900-id chunks)
 
+# Defaults when no per-DB override exists (reference core/query.py:299-304,
+# db/common.py:14-18).  Canonical home: every search backend — this SQL spec,
+# the device engine, and the CLI — must interpret a thresholds mapping through
+# normalize_thresholds so partial tables never degrade to 0.0 gates.
+FALLBACK_THRESHOLDS: dict[int, float] = {
+    int(TagCategory.GENERAL): 0.35,
+    int(TagCategory.CHARACTER): 0.25,
+    int(TagCategory.COPYRIGHT): 0.25,
+    -1: 0.0,
+}
+
+
+def normalize_thresholds(thresholds: Mapping[int, float] | None) -> dict[int, float]:
+    """Overlay user thresholds on the fallbacks (reference _resolve_relevance_thresholds)."""
+    merged = dict(FALLBACK_THRESHOLDS)
+    for key, value in (thresholds or {}).items():
+        try:
+            merged[int(key)] = float(value)
+        except (TypeError, ValueError):
+            continue
+    return merged
+
 
 def _chunks(seq: Sequence, n: int = _CHUNK) -> Iterator[Sequence]:
     for i in range(0, len(seq), n):
@@ -417,7 +439,7 @@ def search_files(
     """
     if order_by not in _ORDER_WHITELIST:
         raise ValueError(f"order_by must be one of {sorted(_ORDER_WHITELIST)}")
-    thr = dict(thresholds or {})
+    thr = normalize_thresholds(thresholds)
     g = float(thr.get(int(TagCategory.GENERAL), 0.0))
     ch = float(thr.get(int(TagCategory.CHARACTER), 0.0))
     cp = float(thr.get(int(TagCategory.COPYRIGHT), 0.0))
@@ -479,7 +501,7 @@ def tag_stats(
     limit: int = 1000,
 ) -> list[sqlite3.Row]:
     """Aggregated per-tag stats (reference ui/tag_stats.py:143-210 SQL)."""
-    thr = dict(thresholds or {})
+    thr = normalize_thresholds(thresholds)
     g = float(thr.get(int(TagCategory.GENERAL), 0.0))
     ch = float(thr.get(int(TagCategory.CHARACTER), 0.0))
     cp = float(thr.get(int(TagCategory.COPYRIGHT), 0.0))

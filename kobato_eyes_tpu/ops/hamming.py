@@ -131,6 +131,25 @@ def bucket_ok_np(keys: np.ndarray, pair_cap: int | None) -> np.ndarray:
     return ok
 
 
+# The device kernels compare sizes in f32 (sizes > 2^24 bytes quantize), while
+# the reference and edge_scan_np compare in f64.  Device filters therefore run
+# with the threshold relaxed by this margin (so f32 rounding can never DROP a
+# pair the exact check keeps) and the surviving edge list — tiny after Hamming
+# pruning — is re-checked on host in exact f64.
+_SIZE_RATIO_F32_SLACK = 1e-5
+
+
+def _exact_size_ratio_keep(
+    ei: np.ndarray, ej: np.ndarray, sizes64: np.ndarray, size_ratio: float
+) -> np.ndarray:
+    """Exact f64 re-check of the reference's _passes_size_ratio on an edge list."""
+    s_i = sizes64[ei]
+    s_j = sizes64[ej]
+    smaller = np.minimum(s_i, s_j)
+    larger = np.maximum(s_i, s_j)
+    return (smaller <= 0) | (smaller / np.maximum(larger, 1.0) >= size_ratio)
+
+
 def edge_scan(
     ph_pairs: np.ndarray,
     keys_u64: np.ndarray,
@@ -183,8 +202,9 @@ def edge_scan(
     out_j: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
     thr = jnp.int32(hamming_threshold)
-    ratio = jnp.float32(size_ratio or 0.0)
+    ratio = jnp.float32((size_ratio or 0.0) * (1.0 - _SIZE_RATIO_F32_SLACK))
     cos_thr = jnp.float32(cosine_threshold if cosine_threshold is not None else -2.0)
+    sizes64 = (sizes if sizes is not None else np.zeros(n)).astype(np.float64)
 
     for start in range(0, n, block):
         # Ragged tail: shift the window back so the block shape stays static
@@ -213,7 +233,13 @@ def edge_scan(
 
     if not out_i:
         return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
-    return np.concatenate(out_i), np.concatenate(out_j), np.concatenate(out_d)
+    ei = np.concatenate(out_i)
+    ej = np.concatenate(out_j)
+    ed = np.concatenate(out_d)
+    if use_size:
+        keep = _exact_size_ratio_keep(ei, ej, sizes64, float(size_ratio))
+        ei, ej, ed = ei[keep], ej[keep], ed[keep]
+    return ei, ej, ed
 
 
 # ---------------------------------------------------------------------------
@@ -311,11 +337,12 @@ def edge_scan_banded(
         return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
     bands = keys_u64.shape[1]
     use_size = size_ratio is not None and size_ratio > 0 and sizes is not None
-    sizes_f = (sizes if sizes is not None else np.zeros(n)).astype(np.float32)
+    sizes64 = (sizes if sizes is not None else np.zeros(n)).astype(np.float64)
+    sizes_f = sizes64.astype(np.float32)
     ph64 = u32pair_to_u64(ph_pairs)
 
     thr = jnp.int32(hamming_threshold)
-    ratio = jnp.float32(size_ratio or 0.0)
+    ratio = jnp.float32((size_ratio or 0.0) * (1.0 - _SIZE_RATIO_F32_SLACK))
 
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
@@ -364,9 +391,15 @@ def edge_scan_banded(
         d_s = np.asarray(d_s[:count])
         gi = orders[b_s, i_s]
         gj = orders[b_s, j_s]
-        out_i.append(np.minimum(gi, gj).astype(np.int64))
-        out_j.append(np.maximum(gi, gj).astype(np.int64))
-        out_d.append(d_s.astype(np.int64))
+        ei_w = np.minimum(gi, gj).astype(np.int64)
+        ej_w = np.maximum(gi, gj).astype(np.int64)
+        ed_w = d_s.astype(np.int64)
+        if use_size:
+            keep = _exact_size_ratio_keep(ei_w, ej_w, sizes64, float(size_ratio))
+            ei_w, ej_w, ed_w = ei_w[keep], ej_w[keep], ed_w[keep]
+        out_i.append(ei_w)
+        out_j.append(ej_w)
+        out_d.append(ed_w)
 
     # Oversized buckets (> window pairs apart) fall back to an exact host
     # pass; windowed hits inside them are re-found here and deduped below.
@@ -383,7 +416,7 @@ def edge_scan_banded(
             dist = popcount64_np(h[:, None] ^ h[None, :]).astype(np.int64)
             mask = dist <= hamming_threshold
             if use_size:
-                s = sizes_f[members].astype(np.float64)
+                s = sizes64[members]
                 smaller = np.minimum(s[:, None], s[None, :])
                 larger = np.maximum(s[:, None], s[None, :])
                 mask &= (smaller <= 0) | (smaller / np.maximum(larger, 1.0) >= size_ratio)
@@ -573,7 +606,10 @@ class BandedHammingScanner:
                     packed = np.asarray(
                         _scan_resident_kernel(
                             self._ph_dev, self._sizes_dev, ok_dev,
-                            jnp.int32(hamming_threshold), jnp.float32(size_ratio or 0.0),
+                            jnp.int32(hamming_threshold),
+                            jnp.float32(
+                                (size_ratio or 0.0) * (1.0 - _SIZE_RATIO_F32_SLACK)
+                            ),
                             window=window, max_edges=cap, use_size=use_size,
                             band_bits=self.band_bits, band_count=self.band_count,
                         )
@@ -586,8 +622,13 @@ class BandedHammingScanner:
             pj = packed[1, :count].astype(np.int64)
             gj = pj & ((1 << 20) - 1)
             d = pj >> 20
-            out_i.append(np.minimum(gi, gj))
-            out_j.append(np.maximum(gi, gj))
+            ei_w = np.minimum(gi, gj)
+            ej_w = np.maximum(gi, gj)
+            if use_size:
+                keep = _exact_size_ratio_keep(ei_w, ej_w, sizes_f, float(size_ratio))
+                ei_w, ej_w, d = ei_w[keep], ej_w[keep], d[keep]
+            out_i.append(ei_w)
+            out_j.append(ej_w)
             out_d.append(d)
 
         # oversized buckets -> exact host fallback (same as edge_scan_banded)

@@ -181,6 +181,25 @@ def _raw_cursor(conn: sqlite3.Connection) -> sqlite3.Cursor:
     return cur
 
 
+# SQLite variable limit safety: IN(...) lists are chunked like
+# db/repository._chunks so bulk retags of >900 files cannot blow the
+# per-statement variable cap (999 on older builds).
+_SQL_ID_CHUNK = 900
+
+
+def _fetch_by_id_chunks(
+    conn: sqlite3.Connection, sql_tmpl: str, ids: Sequence[int]
+) -> list:
+    """Run ``sql_tmpl.format(ph=...)`` over 900-id chunks, concatenating rows."""
+    rows: list = []
+    ids = list(ids)
+    for start in range(0, len(ids), _SQL_ID_CHUNK):
+        chunk = ids[start : start + _SQL_ID_CHUNK]
+        ph = ",".join("?" * len(chunk))
+        rows.extend(_raw_cursor(conn).execute(sql_tmpl.format(ph=ph), chunk).fetchall())
+    return rows
+
+
 def _fetch_file_tag_arrays(
     conn: sqlite3.Connection, where: str = "", params: Sequence = ()
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -262,11 +281,11 @@ def update_epoch(
     changed = np.unique(np.asarray(list(changed_file_ids), dtype=np.int64))
 
     # current state of the changed ids (which still exist & are present)
-    placeholders = ",".join("?" * len(changed))
-    cur_rows = conn.execute(
-        f"SELECT id, path, mtime, size FROM files WHERE is_present = 1 AND id IN ({placeholders})",
+    cur_rows = _fetch_by_id_chunks(
+        conn,
+        "SELECT id, path, mtime, size FROM files WHERE is_present = 1 AND id IN ({ph})",
         changed.tolist(),
-    ).fetchall() if len(changed) else []
+    ) if len(changed) else []
     alive = {int(r[0]): (r[1], float(r[2] or 0.0), int(r[3] or 0)) for r in cur_rows}
 
     # new file axis: previous files minus changed-and-gone, plus changed-and-alive
@@ -331,10 +350,15 @@ def update_epoch(
 
     # fresh postings for the changed-and-alive files
     if len(add_ids):
-        ph = ",".join("?" * len(add_ids))
-        fid, tid_db, sc = _fetch_file_tag_arrays(
-            conn, f"WHERE file_id IN ({ph})", add_ids.tolist()
+        rows = _fetch_by_id_chunks(
+            conn,
+            "SELECT file_id, tag_id, score FROM file_tags WHERE file_id IN ({ph})",
+            add_ids.tolist(),
         )
+        m = len(rows)
+        fid = np.fromiter((r[0] for r in rows), dtype=np.int64, count=m)
+        tid_db = np.fromiter((r[1] for r in rows), dtype=np.int64, count=m)
+        sc = np.fromiter((r[2] for r in rows), dtype=np.float64, count=m)
         n_rows = np.searchsorted(file_ids, fid).astype(np.int32)
         n_t = np.searchsorted(tag_db_ids, tid_db)
         if vocab_append_only:

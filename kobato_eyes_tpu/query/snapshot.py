@@ -8,6 +8,7 @@ one ``.npz`` of arrays + a JSON sidecar of names/metadata.
 
 from __future__ import annotations
 
+import hashlib
 import json
 from pathlib import Path
 
@@ -16,7 +17,20 @@ import numpy as np
 
 from kobato_eyes_tpu.query.engine import TagIndexEpoch
 
-_FORMAT_VERSION = 1
+# v2 adds a sha256 content digest to the sidecar: the sidecar/npz pair is
+# swapped with two renames, and count-based checks alone cannot catch a crash
+# between them when a delta preserved every count (e.g. a pure path rename).
+_FORMAT_VERSION = 2
+_ACCEPTED_FORMATS = {1, 2}
+
+
+def _content_digest(
+    file_ids: np.ndarray, offsets: np.ndarray, rows: np.ndarray, scores64: np.ndarray
+) -> str:
+    h = hashlib.sha256()
+    for arr in (file_ids, offsets, rows, scores64):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
 
 
 def save_epoch(epoch: TagIndexEpoch, path: str | Path) -> Path:
@@ -50,6 +64,9 @@ def save_epoch(epoch: TagIndexEpoch, path: str | Path) -> Path:
                 "built_at": epoch.built_at,
                 "num_files": epoch.num_files,
                 "nnz": int(len(epoch.rows_np)),
+                "digest": _content_digest(
+                    epoch.file_ids, epoch.offsets, epoch.rows_np, epoch.scores_np
+                ),
                 "paths": epoch.paths,
                 "tag_names": epoch.tag_names,
             }
@@ -66,7 +83,7 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
     if base.suffix != ".npz":
         base = base.with_suffix(".npz")
     meta = json.loads(base.with_suffix(".json").read_text(encoding="utf-8"))
-    if meta.get("format") != _FORMAT_VERSION:
+    if meta.get("format") not in _ACCEPTED_FORMATS:
         raise ValueError(f"unsupported epoch snapshot format: {meta.get('format')}")
     arrays = np.load(base)
     tag_names = list(meta["tag_names"])
@@ -77,6 +94,11 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         arrays["offsets"]
     ) or meta.get("nnz", len(scores64)) != len(scores64):
         raise ValueError("epoch snapshot sidecar/arrays mismatch")
+    digest = meta.get("digest")
+    if digest is not None and digest != _content_digest(
+        arrays["file_ids"], arrays["offsets"], arrays["rows"], scores64
+    ):
+        raise ValueError("epoch snapshot content digest mismatch")
     return TagIndexEpoch(
         version=int(meta["version"]),
         file_ids=arrays["file_ids"],

@@ -23,29 +23,18 @@ from kobato_eyes_tpu.query.ast import (
     parse_query,
 )
 
-# Defaults when no per-DB override exists (reference core/query.py:299-304).
-FALLBACK_THRESHOLDS: dict[int, float] = {
-    int(TagCategory.GENERAL): 0.35,
-    int(TagCategory.CHARACTER): 0.25,
-    int(TagCategory.COPYRIGHT): 0.25,
-    -1: 0.0,
-}
+# Canonical thresholds contract lives with the catalog spec (db/repository);
+# re-exported here because the query layer is the usual consumer.
+from kobato_eyes_tpu.db.repository import (  # noqa: E402
+    FALLBACK_THRESHOLDS,
+    normalize_thresholds,
+)
 
 
 @dataclass(frozen=True)
 class QueryFragment:
     where: str
     params: list[object]
-
-
-def normalize_thresholds(thresholds: Mapping[int, float] | None) -> dict[int, float]:
-    merged = dict(FALLBACK_THRESHOLDS)
-    for key, value in (thresholds or {}).items():
-        try:
-            merged[int(key)] = float(value)
-        except (TypeError, ValueError):
-            continue
-    return merged
 
 
 def _case_params(thr: dict[int, float]) -> list[float]:

@@ -166,3 +166,35 @@ def test_bulk_scan_upsert(conn):
     bulk_scan_upsert(conn, [("/b/b.png", 20, 2.0, None)])
     row = conn.execute("SELECT is_present FROM files WHERE path='/b/b.png'").fetchone()
     assert row["is_present"] == 1
+
+
+def test_thresholds_fallback_normalization(conn):
+    """Every backend interprets a missing/partial thresholds table through
+    the 0.35/0.25/0.25 fallbacks (reference _resolve_relevance_thresholds),
+    never as 0.0 gates."""
+    from kobato_eyes_tpu.db.repository import search_files
+
+    fid_low = upsert_file(conn, path="/n/low.png")
+    fid_hi = upsert_file(conn, path="/n/hi.png")
+    write_tagging_batch(conn, [
+        TaggingItem(fid_low, [("1girl", 0.20, 0)]),   # below 0.35 general fallback
+        TaggingItem(fid_hi, [("1girl", 0.90, 0)]),
+    ])
+
+    # search_files with empty thresholds: sub-fallback score earns no relevance
+    rows = search_files(conn, "1=1", [], positive_tags=["1girl"], thresholds={})
+    rel = {r.file_id: r.relevance for r in rows}
+    assert rel[fid_hi] == pytest.approx(0.90)
+    assert rel[fid_low] == 0.0
+
+    # tag_stats with empty thresholds: only the above-fallback row counts
+    stats = tag_stats(conn, thresholds={})
+    row = next(r for r in stats if r["name"] == "1girl")
+    assert row["file_count"] == 1
+
+    # explicit override still wins over the fallback
+    rows = search_files(
+        conn, "1=1", [], positive_tags=["1girl"], thresholds={0: 0.1}
+    )
+    rel = {r.file_id: r.relevance for r in rows}
+    assert rel[fid_low] == pytest.approx(0.20)

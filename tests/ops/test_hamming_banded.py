@@ -95,3 +95,48 @@ def test_empty_and_tiny():
         np.ones((1, 4), bool), hamming_threshold=8,
     )
     assert all(len(x) == 0 for x in one)
+
+
+def test_size_ratio_f64_boundary_parity():
+    """Sizes > 2^24 bytes quantize in f32; the edge decision must still match
+    the exact-f64 spec at the ratio boundary (device result is post-filtered
+    on host in f64)."""
+    from kobato_eyes_tpu.ops.hamming import BandedHammingScanner
+
+    # identical hashes -> hamming 0, so only the size filter decides
+    ph = np.array([1234567890123, 1234567890123, 1234567890123], dtype=np.uint64)
+    # pair (0,1): exact ratio 0.5 + 15/2^28, but both sizes round UP in f32 so
+    # the f32 ratio is 0.5 + 16/2^28 — f32 passes thr, exact f64 fails it.
+    # pair (0,2)/(1,2): tiny size -> exact ratio far below thr -> always out.
+    a = float(2**27 + 15)
+    b = float(2**28)
+    thr = float(np.float32(0.5 + 16 / 2**28))
+    sizes = np.array([a, b, 10.0], dtype=np.float64)
+    assert (a / b) < thr <= float(np.float32(a) / np.float32(b))
+
+    keys = band_keys_np(ph, 16, 4)
+    ok = bucket_ok_np(keys, None)
+    pairs = u64_to_u32pair(ph)
+
+    ni, nj, nd = edge_scan_np(ph, keys, ok, hamming_threshold=8, sizes=sizes, size_ratio=thr)
+    bi, bj, bd = edge_scan_banded(
+        pairs, keys, ok, hamming_threshold=8, sizes=sizes, size_ratio=thr
+    )
+    assert _edges_set(bi, bj, bd) == _edges_set(ni, nj, nd) == set()
+
+    ri, rj, rd = BandedHammingScanner().scan(
+        ph, hamming_threshold=8, sizes=sizes, size_ratio=thr
+    )
+    assert _edges_set(ri, rj, rd) == set()
+
+    # opposite rounding direction: exact passes, naive f32 would drop — the
+    # relaxed device threshold keeps it and the exact check confirms it.
+    a2 = float(2**27 + 7)  # rounds DOWN in f32
+    sizes2 = np.array([a2, b, 10.0], dtype=np.float64)
+    thr2 = a2 / b  # exact boundary: pair passes in f64
+    ni2, nj2, _ = edge_scan_np(ph, keys, ok, hamming_threshold=8, sizes=sizes2, size_ratio=thr2)
+    bi2, bj2, _ = edge_scan_banded(
+        pairs, keys, ok, hamming_threshold=8, sizes=sizes2, size_ratio=thr2
+    )
+    assert {(int(i), int(j)) for i, j in zip(bi2, bj2)} == \
+        {(int(i), int(j)) for i, j in zip(ni2, nj2)} == {(0, 1)}

@@ -107,3 +107,28 @@ def test_delta_vocab_shrink_falls_back(conn):
     delta = update_epoch(conn, prev, changed_file_ids=all_ids, version=2)
     _assert_equivalent(delta, build_epoch(conn, version=2))
     assert "gamma" not in delta.name_to_tid
+
+
+def test_delta_bulk_retag_chunks_sql_variables(tmp_path):
+    """A delta larger than SQLite's per-statement variable cap must not raise
+    'too many SQL variables' (IN lists are chunked at 900)."""
+    reset_bootstrap_cache()
+    c = bootstrap(tmp_path / "bulk.sqlite")
+    try:
+        n = 1201
+        items = [
+            TaggingItem(upsert_file(c, path=f"/bulk/{i:04d}.png", mtime=1e9 + i),
+                        [("alpha", 0.5, 0)], tagger_sig="s")
+            for i in range(n)
+        ]
+        write_tagging_batch(c, items)
+        prev = build_epoch(c, version=1)
+        all_ids = [int(r[0]) for r in c.execute("SELECT id FROM files")]
+        write_tagging_batch(
+            c, [TaggingItem(fid, [("beta", 0.9, 4)], tagger_sig="s2") for fid in all_ids]
+        )
+        delta = update_epoch(c, prev, changed_file_ids=all_ids, version=2)
+        full = build_epoch(c, version=2)
+        _assert_equivalent(delta, full)
+    finally:
+        c.close()

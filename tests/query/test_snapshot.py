@@ -46,6 +46,28 @@ def test_snapshot_bad_format(tmp_path):
         conn.close()
     p = save_epoch(epoch, tmp_path / "e")
     sidecar = p.with_suffix(".json")
-    sidecar.write_text(sidecar.read_text().replace('"format": 1', '"format": 99'))
+    sidecar.write_text(sidecar.read_text().replace('"format": 2', '"format": 99'))
     with pytest.raises(ValueError):
         load_epoch(p)
+
+
+def test_snapshot_digest_mismatch(tmp_path):
+    """A sidecar/npz pair from different epochs with identical counts must be
+    rejected (crash between the two renames after a count-preserving delta)."""
+    reset_bootstrap_cache()
+    conn = bootstrap(tmp_path / "c3.sqlite")
+    try:
+        fid = upsert_file(conn, path="/z/a.png")
+        write_tagging_batch(conn, [TaggingItem(fid, [("alpha", 0.9, 0)])])
+        epoch_a = build_epoch(conn, version=1)
+        # count-preserving change: same file count, same nnz, different score
+        write_tagging_batch(conn, [TaggingItem(fid, [("alpha", 0.4, 0)])])
+        epoch_b = build_epoch(conn, version=2)
+    finally:
+        conn.close()
+    pa = save_epoch(epoch_a, tmp_path / "a")
+    pb = save_epoch(epoch_b, tmp_path / "b")
+    # simulate the torn pair: b's sidecar with a's arrays
+    pb.with_suffix(".json").replace(pa.with_suffix(".json"))
+    with pytest.raises(ValueError, match="digest"):
+        load_epoch(pa)
