@@ -1,18 +1,16 @@
-"""Pair-level refinement (library path): SSIM + structural match decision.
+"""Pair-level refinement (library path): metric table -> OR decision.
 
-Counterpart of the reference's ``src/dup/refine.py`` (SSIM >= 0.9 OR
-ORB >= 0.15 decision).  SSIM parity: both images are converted to grayscale,
-fitted to their common size with BICUBIC (``ImageOps.fit`` semantics) and
-scored with the skimage-default SSIM implemented in ops/ssim.py.
+Behavioral counterpart of the reference's ``src/dup/refine.py`` (duplicate iff
+SSIM >= 0.9 OR ORB match ratio >= 0.15), extended with the tile-aHash
+structural signal the reference app uses in production
+(``ui/dup_refine_parallel.py``).  The implementation is metric-table driven:
+each metric is an independent scorer with its own threshold and failure
+policy (a metric that raises degrades to "no opinion", it never aborts the
+pair — reference failure policy, dup/refine.py:90-97).
 
-ORB keypoint matching runs on the host via OpenCV when available (the same
-binary the reference calls; crossCheck NORM_HAMMING match ratio,
-refine.py:55-68) and degrades to None otherwise.  The tile-aHash structural
-match (the verification the reference app ships in production,
-ui/dup_refine_parallel.py) is computed as a third, device-batched signal.
-The decision rule keeps the reference's OR shape:
-duplicate iff ssim >= thr.ssim OR orb_ratio >= thr.orb OR
-structural_ratio >= thr.structural.
+TPU notes: SSIM and tile-aHash run as batched device kernels (ops/ssim.py,
+ops/tile_hash.py).  ORB stays a host signal via OpenCV when importable —
+keypoint detection is branch-heavy and tiny; the device adds nothing there.
 """
 
 from __future__ import annotations
@@ -20,6 +18,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass
 from pathlib import Path
+from typing import Callable
 
 import numpy as np
 from PIL import Image, ImageOps
@@ -33,7 +32,7 @@ logger = logging.getLogger(__name__)
 
 @dataclass(frozen=True)
 class RefinementThresholds:
-    """Decision thresholds (reference dup/refine.py:19-25)."""
+    """Per-metric accept thresholds (reference defaults 0.9 / 0.15)."""
 
     ssim: float = 0.9
     orb: float = 0.15
@@ -51,53 +50,82 @@ class RefinedMatch:
     orb_ratio: float | None = None  # None when OpenCV is unavailable
 
 
-def compute_orb_ratio(img_a: Image.Image, img_b: Image.Image) -> float | None:
-    """crossCheck ORB match ratio (reference _compute_orb_ratio semantics:
-    matches / min keypoint count); None when OpenCV is absent."""
-    try:
-        import cv2
-    except ImportError:
-        return None
-    gray_a = np.asarray(img_a.convert("L"))
-    gray_b = np.asarray(img_b.convert("L"))
-    orb = cv2.ORB_create()
-    kp_a, desc_a = orb.detectAndCompute(gray_a, None)
-    kp_b, desc_b = orb.detectAndCompute(gray_b, None)
-    if desc_a is None or desc_b is None or not kp_a or not kp_b:
-        return 0.0
-    matcher = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
-    matches = matcher.match(desc_a, desc_b)
-    if not matches:
-        return 0.0
-    return float(len(matches) / min(len(kp_a), len(kp_b)))
-
-
-def _fit_gray(img: Image.Image, size: tuple[int, int]) -> np.ndarray:
+def _gray_f32(img: Image.Image, size: tuple[int, int]) -> np.ndarray:
+    """Grayscale crop-fit to ``size`` in [0, 1] (ImageOps.fit semantics)."""
     fitted = ImageOps.fit(img.convert("L"), size, Image.Resampling.BICUBIC)
     return np.asarray(fitted, dtype=np.float32) / 255.0
 
 
 def compute_ssim(img_a: Image.Image, img_b: Image.Image) -> float:
-    """SSIM on the common-size grayscale pair (reference _compute_ssim)."""
-    size = (min(img_a.width, img_b.width), min(img_a.height, img_b.height))
-    if size[0] == 0 or size[1] == 0:
-        size = (max(img_a.width, img_b.width), max(img_a.height, img_b.height))
-    a = _fit_gray(img_a, size)
-    b = _fit_gray(img_b, size)
-    return float(np.asarray(ssim_batch(a[None], b[None]))[0])
+    """SSIM over the pair fitted to their common size (device kernel)."""
+    common = (min(img_a.width, img_b.width), min(img_a.height, img_b.height))
+    if 0 in common:
+        common = (max(img_a.width, img_b.width), max(img_a.height, img_b.height))
+    pair = np.stack([_gray_f32(img_a, common), _gray_f32(img_b, common)])
+    return float(np.asarray(ssim_batch(pair[:1], pair[1:]))[0])
+
+
+def compute_orb_ratio(img_a: Image.Image, img_b: Image.Image) -> float | None:
+    """Mutual-best ORB match ratio in [0, 1]; None when OpenCV is absent.
+
+    Semantics follow the reference scorer: the ratio denominator is the
+    smaller keypoint count, and a side with no detectable features scores 0.
+    """
+    try:
+        import cv2
+    except ImportError:
+        return None
+
+    def _features(img: Image.Image):
+        return cv2.ORB_create().detectAndCompute(np.asarray(img.convert("L")), None)
+
+    kp_a, desc_a = _features(img_a)
+    kp_b, desc_b = _features(img_b)
+    n_min = min(len(kp_a or ()), len(kp_b or ()))
+    if n_min == 0 or desc_a is None or desc_b is None:
+        return 0.0
+    mutual = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True).match(desc_a, desc_b)
+    return len(mutual) / n_min
 
 
 def compute_structural_ratio(
     img_a: Image.Image, img_b: Image.Image, *, grid: int = 8, tile: int = 8
 ) -> float:
-    """Tile-aHash agreement in 0..1 (1 = identical structure)."""
+    """Tile-aHash agreement in 0..1 (1 = identical structure; device kernel)."""
     side = grid * tile
-    a = np.asarray(img_a.convert("L").resize((side, side), Image.Resampling.BILINEAR), np.uint8)
-    b = np.asarray(img_b.convert("L").resize((side, side), Image.Resampling.BILINEAR), np.uint8)
-    words = np.asarray(tile_ahash_batch(np.stack([a, b]), grid=grid, tile=tile))
-    nbits = side * side
+    frames = np.stack([
+        np.asarray(img.convert("L").resize((side, side), Image.Resampling.BILINEAR), np.uint8)
+        for img in (img_a, img_b)
+    ])
+    words = np.asarray(tile_ahash_batch(frames, grid=grid, tile=tile))
     dist = int(tile_hamming_words(words[0][None], words[1][None])[0])
-    return 1.0 - dist / nbits
+    return 1.0 - dist / (side * side)
+
+
+# Metric table: (field name, scorer, threshold accessor).  Order fixes the
+# order of reason fragments; adding a signal means adding a row, not another
+# try/except block.
+_METRICS: tuple[tuple[str, Callable, Callable[[RefinementThresholds], float]], ...] = (
+    ("ssim", compute_ssim, lambda t: t.ssim),
+    ("orb_ratio", compute_orb_ratio, lambda t: t.orb),
+    ("structural_ratio", compute_structural_ratio, lambda t: t.structural),
+)
+
+
+def _score_metrics(
+    img_a: Image.Image, img_b: Image.Image, tag: str
+) -> tuple[dict[str, float | None], list[str]]:
+    """Run every metric; a raising metric scores None and is noted."""
+    scores: dict[str, float | None] = {}
+    degraded: list[str] = []
+    for name, scorer, _ in _METRICS:
+        try:
+            scores[name] = scorer(img_a, img_b)
+        except Exception:
+            scores[name] = None
+            degraded.append(name)
+            logger.warning("pair metric %s raised on %s", name, tag, exc_info=True)
+    return scores, degraded
 
 
 def refine_pair(
@@ -108,54 +136,43 @@ def refine_pair(
     *,
     thresholds: RefinementThresholds | None = None,
 ) -> RefinedMatch | None:
-    """Compare two images; None when either fails to load."""
-    image_a = safe_load_image(path_a)
-    image_b = safe_load_image(path_b)
-    if image_a is None or image_b is None:
+    """Score one candidate pair; None when either image fails to load."""
+    img_a = safe_load_image(path_a)
+    img_b = safe_load_image(path_b)
+    if img_a is None or img_b is None:
         return None
+
     cfg = thresholds or RefinementThresholds()
+    scores, degraded = _score_metrics(img_a, img_b, f"({path_a}, {path_b})")
 
-    ssim_value: float | None = None
-    orb_ratio: float | None = None
-    structural: float | None = None
-    metric_errors: list[str] = []
-    try:
-        ssim_value = compute_ssim(image_a, image_b)
-    except Exception as exc:
-        # Failure policy: metric failure degrades the decision, never raises
-        # (reference refine.py:90-97).
-        logger.warning("SSIM refinement failed for %s and %s: %s", path_a, path_b, exc)
-        metric_errors.append("ssim unavailable")
-    try:
-        orb_ratio = compute_orb_ratio(image_a, image_b)
-    except Exception as exc:
-        logger.warning("ORB refinement failed for %s and %s: %s", path_a, path_b, exc)
-        metric_errors.append("orb unavailable")
-    try:
-        structural = compute_structural_ratio(image_a, image_b)
-    except Exception as exc:
-        logger.warning("structural refinement failed for %s and %s: %s", path_a, path_b, exc)
-        metric_errors.append("structural unavailable")
+    hits = [
+        f"{name} {scores[name]:.3f} >= {thr_of(cfg)}"
+        for name, _, thr_of in _METRICS
+        if scores[name] is not None and scores[name] >= thr_of(cfg)
+    ]
+    if hits:
+        reason = " + ".join(hits)
+    elif degraded:
+        reason = "degraded: " + ", ".join(degraded)
+    else:
+        reason = "no metric cleared its threshold"
 
-    reasons: list[str] = []
-    is_duplicate = False
-    if ssim_value is not None and ssim_value >= cfg.ssim:
-        reasons.append(f"ssim>={cfg.ssim}")
-        is_duplicate = True
-    if orb_ratio is not None and orb_ratio >= cfg.orb:
-        reasons.append(f"orb>={cfg.orb}")
-        is_duplicate = True
-    if structural is not None and structural >= cfg.structural:
-        reasons.append(f"structural>={cfg.structural}")
-        is_duplicate = True
-
-    reason = ", ".join(reasons or metric_errors) if reasons or metric_errors else "below thresholds"
     return RefinedMatch(
         file_id_a=file_id_a,
         file_id_b=file_id_b,
-        ssim=ssim_value,
-        structural_ratio=structural,
-        is_duplicate=is_duplicate,
+        ssim=scores["ssim"],
+        structural_ratio=scores["structural_ratio"],
+        is_duplicate=bool(hits),
         reason=reason,
-        orb_ratio=orb_ratio,
+        orb_ratio=scores["orb_ratio"],
     )
+
+
+__all__ = [
+    "RefinementThresholds",
+    "RefinedMatch",
+    "refine_pair",
+    "compute_ssim",
+    "compute_orb_ratio",
+    "compute_structural_ratio",
+]
