@@ -407,6 +407,31 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_import_weights(args) -> int:
+    """Convert a torch/timm state dict (WD14 SwinV2/ViT release format) into
+    an orbax checkpoint loadable by WD14Tagger (reference loads the same
+    pretrained family as ONNX, wd14_onnx.py:139-202)."""
+    from kobato_eyes_tpu.models.import_weights import import_torch_checkpoint
+    from kobato_eyes_tpu.models.tagger import save_checkpoint
+
+    if args.arch == "swinv2":
+        from kobato_eyes_tpu.models.swin import swin_config
+
+        cfg = swin_config(
+            args.preset, image_size=args.image_size, num_classes=args.classes
+        )
+    else:
+        from kobato_eyes_tpu.models.vit import vit_config
+
+        cfg = vit_config(
+            args.preset, image_size=args.image_size, num_classes=args.classes
+        )
+    params = import_torch_checkpoint(args.state_dict, cfg)
+    save_checkpoint(args.out, params)
+    print(json.dumps({"arch": args.arch, "preset": args.preset, "out": str(args.out)}))
+    return 0
+
+
 def cmd_reset(args) -> int:
     """Reset the catalog with timestamped backups (reference db/admin.py)."""
     settings, db = _load_env(args)
@@ -657,6 +682,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint")
     p.add_argument("--labels")
     p.set_defaults(fn=cmd_inspect)
+
+    p = sub.add_parser(
+        "import-weights", help="torch/timm state dict -> orbax tagger checkpoint"
+    )
+    p.add_argument("state_dict", help=".pth/.pt/.safetensors file")
+    p.add_argument("out", help="output orbax checkpoint directory")
+    p.add_argument("--arch", choices=["swinv2", "vit"], default="swinv2")
+    p.add_argument("--preset", default="base")
+    p.add_argument("--image-size", type=int, default=448)
+    p.add_argument("--classes", type=int, default=8192)
+    p.set_defaults(fn=cmd_import_weights)
 
     p = sub.add_parser("reset", help="reset the catalog (timestamped backups)")
     p.add_argument("--yes", action="store_true")

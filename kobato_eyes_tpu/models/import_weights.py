@@ -5,7 +5,9 @@ forwards, so real deployments import weights once (timm/torch state dicts —
 the format WD14-family taggers are distributed in alongside their ONNX
 exports) and save an orbax checkpoint (``models/tagger.py:save_checkpoint``).
 
-Covers the ViT family (timm ``vit_*`` naming). The mapping is pure array
+Covers the ViT family (timm ``vit_*`` naming) and the SwinV2 family (timm
+``swinv2_*`` naming — the WD14 tagger's actual architecture,
+reference ``src/tagger/wd14_onnx.py:106``). The mapping is pure array
 reshaping — no torch ops — so the input can be a real ``torch.load`` state
 dict or any mapping of numpy arrays with the same keys.
 """
@@ -17,6 +19,7 @@ from typing import Any, Mapping
 
 import numpy as np
 
+from kobato_eyes_tpu.models.swin import SwinConfig
 from kobato_eyes_tpu.models.vit import ViTConfig
 
 logger = logging.getLogger(__name__)
@@ -124,7 +127,134 @@ def vit_params_from_torch_state(
     return params
 
 
-def import_torch_checkpoint(path: str, cfg: ViTConfig) -> dict:
+def swin_params_from_torch_state(
+    state: Mapping[str, Any], cfg: SwinConfig
+) -> dict:
+    """timm ``SwinTransformerV2`` state dict -> flax param tree for SwinV2.
+
+    Expected keys (timm naming; ``layers.{s}`` = stage, with the stage-s
+    downsample applied at the *start* of stage s+1 in timm — equal to our
+    ``merge{s}`` after stage s):
+
+      patch_embed.proj.{weight,bias}, patch_embed.norm.{weight,bias},
+      layers.S.blocks.B.attn.{qkv.weight,q_bias,v_bias,logit_scale,
+                              cpb_mlp.0.weight,cpb_mlp.0.bias,cpb_mlp.2.weight,
+                              proj.weight,proj.bias},
+      layers.S.blocks.B.{norm1,norm2}.{weight,bias},
+      layers.S.blocks.B.mlp.{fc1,fc2}.{weight,bias},
+      layers.S.downsample.{reduction.weight,norm.weight,norm.bias},
+      norm.{weight,bias}, head.{weight,bias} (or head.fc.{weight,bias})
+
+    Layout notes (verified by the torch-vs-flax parity test):
+      * qkv bias: SwinV2 learns q_bias/v_bias with k fixed at zero.
+      * patch merging: timm concatenates (dy,dx) blocks in order
+        (0,0),(1,0),(0,1),(1,1); our reshape produces (0,0),(0,1),(1,0),(1,1),
+        so the reduction kernel's input chunks are permuted [0,2,1,3].
+    """
+
+    def get(key: str) -> np.ndarray:
+        if key not in state:
+            raise KeyError(f"missing weight {key!r}")
+        return _np(state[key])
+
+    def f32(a: np.ndarray) -> np.ndarray:
+        return np.asarray(a, dtype=np.float32)
+
+    d0 = cfg.embed_dim
+    p = cfg.patch_size
+    w = get("patch_embed.proj.weight")  # (D, C, P, P)
+    params: dict = {
+        "patch_embed": {
+            "kernel": f32(w.transpose(2, 3, 1, 0).reshape(p * p * 3, d0)),
+            "bias": f32(get("patch_embed.proj.bias")),
+        },
+        "patch_norm": {
+            "scale": f32(get("patch_embed.norm.weight")),
+            "bias": f32(get("patch_embed.norm.bias")),
+        },
+        "norm_final": {
+            "scale": f32(get("norm.weight")),
+            "bias": f32(get("norm.bias")),
+        },
+    }
+
+    for stage, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+        c = d0 * (2**stage)
+        hd = c // heads
+        for blk in range(depth):
+            pre = f"layers.{stage}.blocks.{blk}."
+            qkv_w = get(pre + "attn.qkv.weight")  # (3C, C)
+            if pre + "attn.qkv.bias" in state:
+                qkv_b = get(pre + "attn.qkv.bias")
+            else:
+                qkv_b = np.concatenate([
+                    get(pre + "attn.q_bias"),
+                    np.zeros(c, dtype=np.float32),
+                    get(pre + "attn.v_bias"),
+                ])
+            proj_w = get(pre + "attn.proj.weight")  # (C, C) = (out, in)
+            params[f"stage{stage}_block{blk}"] = {
+                "attn": {
+                    "qkv": {
+                        "kernel": f32(qkv_w.T.reshape(c, 3, heads, hd)),
+                        "bias": f32(qkv_b.reshape(3, heads, hd)),
+                    },
+                    "logit_scale": f32(get(pre + "attn.logit_scale")).reshape(heads, 1, 1),
+                    "cpb_fc1": {
+                        "kernel": f32(get(pre + "attn.cpb_mlp.0.weight").T),
+                        "bias": f32(get(pre + "attn.cpb_mlp.0.bias")),
+                    },
+                    "cpb_fc2": {"kernel": f32(get(pre + "attn.cpb_mlp.2.weight").T)},
+                    "proj": {
+                        "kernel": f32(proj_w.T.reshape(heads, hd, c)),
+                        "bias": f32(get(pre + "attn.proj.bias")),
+                    },
+                },
+                "norm1": {
+                    "scale": f32(get(pre + "norm1.weight")),
+                    "bias": f32(get(pre + "norm1.bias")),
+                },
+                "norm2": {
+                    "scale": f32(get(pre + "norm2.weight")),
+                    "bias": f32(get(pre + "norm2.bias")),
+                },
+                "fc1": {
+                    "kernel": f32(get(pre + "mlp.fc1.weight").T),
+                    "bias": f32(get(pre + "mlp.fc1.bias")),
+                },
+                "fc2": {
+                    "kernel": f32(get(pre + "mlp.fc2.weight").T),
+                    "bias": f32(get(pre + "mlp.fc2.bias")),
+                },
+            }
+        if stage < cfg.num_stages - 1:
+            ds = f"layers.{stage + 1}.downsample."
+            red = get(ds + "reduction.weight")  # (2C, 4C), cols = timm block order
+            chunks = red.reshape(2 * c, 4, c)
+            kernel = chunks[:, (0, 2, 1, 3), :].reshape(2 * c, 4 * c).T  # -> (4C, 2C)
+            params[f"merge{stage}"] = {
+                "reduction": {"kernel": f32(kernel)},
+                "norm": {
+                    "scale": f32(get(ds + "norm.weight")),
+                    "bias": f32(get(ds + "norm.bias")),
+                },
+            }
+
+    head_key = "head.weight" if "head.weight" in state else (
+        "head.fc.weight" if "head.fc.weight" in state else None
+    )
+    if head_key is not None:
+        bias_key = head_key.replace("weight", "bias")
+        params["head"] = {
+            "kernel": f32(_np(state[head_key]).T),
+            "bias": f32(_np(state[bias_key])),
+        }
+    else:
+        logger.warning("state dict has no classifier head; head left random")
+    return params
+
+
+def import_torch_checkpoint(path: str, cfg: ViTConfig | SwinConfig) -> dict:
     """Load a .pth/.pt/.safetensors file and convert (torch required)."""
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file  # type: ignore[import-not-found]
@@ -136,4 +266,6 @@ def import_torch_checkpoint(path: str, cfg: ViTConfig) -> dict:
         state = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
+    if isinstance(cfg, SwinConfig):
+        return swin_params_from_torch_state(state, cfg)
     return vit_params_from_torch_state(state, cfg)

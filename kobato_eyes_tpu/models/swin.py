@@ -33,6 +33,10 @@ class SwinConfig:
     depths: tuple[int, ...] = (2, 2, 6, 2)
     num_heads: tuple[int, ...] = (3, 6, 12, 24)
     window_size: int = 7
+    # Window size the checkpoint was pretrained at (0 = same as window_size);
+    # sets the CPB coordinate normalization denominator like SwinV2's
+    # pretrained_window_sizes.
+    pretrained_window_size: int = 0
     mlp_ratio: float = 4.0
     num_classes: int = 8192
     dtype: Any = jnp.bfloat16
@@ -82,18 +86,28 @@ def _window_reverse(x: Array, w: int, h: int, wd: int) -> Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, wd, c)
 
 
-def _relative_log_coords(w: int) -> np.ndarray:
-    """(w*w, w*w, 2) log-spaced continuous relative coordinates (SwinV2 CPB)."""
+def _relative_log_coords(w: int, pretrained_w: int = 0) -> np.ndarray:
+    """(w*w, w*w, 2) log-spaced continuous relative coordinates (SwinV2 CPB).
+
+    Exact SwinV2 convention (the one pretrained checkpoints were trained
+    against): coordinates are normalized by (window - 1) of the *pretraining*
+    window, scaled to [-8, 8], then sign(x)*log2(|x|+1)/log2(8).
+    """
     coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"), axis=-1)
     flat = coords.reshape(-1, 2)
-    rel = flat[:, None, :] - flat[None, :, :]  # (w², w², 2) in [-(w-1), w-1]
-    rel = rel.astype(np.float32)
-    rel = np.sign(rel) * np.log1p(np.abs(rel)) / np.log(8.0)
-    return rel
+    rel = (flat[:, None, :] - flat[None, :, :]).astype(np.float32)
+    denom = max((pretrained_w if pretrained_w > 0 else w) - 1, 1)
+    rel = rel / denom * 8.0
+    return np.sign(rel) * np.log2(np.abs(rel) + 1.0) / np.log2(8.0)
 
 
 def _shift_attn_mask(grid: int, w: int, shift: int) -> np.ndarray:
-    """(nW, w², w²) additive mask for shifted windows (0 or -inf-ish)."""
+    """(nW, w², w²) additive mask for shifted windows.
+
+    Masked entries use the SwinV2 value of -100.0 (NOT -inf): cosine-attention
+    logits are bounded by scale<=100 + bias<=16, and pretrained weights were
+    trained against exactly this soft mask, so fidelity requires keeping it.
+    """
     img = np.zeros((grid, grid), dtype=np.int32)
     cnt = 0
     slices = (slice(0, -w), slice(-w, -shift), slice(-shift, None))
@@ -103,7 +117,7 @@ def _shift_attn_mask(grid: int, w: int, shift: int) -> np.ndarray:
             cnt += 1
     windows = img.reshape(grid // w, w, grid // w, w).transpose(0, 2, 1, 3).reshape(-1, w * w)
     diff = windows[:, :, None] != windows[:, None, :]
-    return np.where(diff, -1e9, 0.0).astype(np.float32)
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
 
 
 class WindowAttention(nn.Module):
@@ -135,7 +149,9 @@ class WindowAttention(nn.Module):
         attn = attn * scale[None]
 
         # log-CPB relative position bias: small MLP over log relative coords
-        rel = jnp.asarray(_relative_log_coords(self.window_size))  # (n, n, 2)
+        rel = jnp.asarray(
+            _relative_log_coords(self.window_size, cfg.pretrained_window_size)
+        )  # (n, n, 2)
         h1 = nn.Dense(512, dtype=jnp.float32, param_dtype=cfg.param_dtype, name="cpb_fc1")(rel)
         h1 = nn.relu(h1)
         bias = nn.Dense(

@@ -40,7 +40,9 @@ def test_window_partition_roundtrip(rng):
 def test_shift_mask_blocks_cross_region():
     mask = _shift_attn_mask(grid=8, w=4, shift=2)
     assert mask.shape == (4, 16, 16)
-    assert (mask == 0).any() and (mask < -1e8).any()
+    # SwinV2 soft mask value: -100.0 exactly (what pretrained weights expect)
+    assert (mask == 0).any() and (mask == -100.0).any()
+    assert set(np.unique(mask)) == {-100.0, 0.0}
     # diagonal always visible
     for wi in range(4):
         assert np.all(np.diag(mask[wi]) == 0)
