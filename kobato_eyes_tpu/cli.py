@@ -420,13 +420,22 @@ def cmd_import_weights(args) -> int:
         cfg = swin_config(
             args.preset, image_size=args.image_size, num_classes=args.classes
         )
+        params = import_torch_checkpoint(args.state_dict, cfg)
+    elif args.arch == "clip":
+        from kobato_eyes_tpu.index.embedder import ImageEmbedder
+
+        emb = ImageEmbedder.from_clip_checkpoint(
+            args.state_dict, clip_variant=args.clip_variant, preset=args.preset,
+            image_size=args.image_size, embed_dim=args.classes,
+        )
+        params = emb.params
     else:
         from kobato_eyes_tpu.models.vit import vit_config
 
         cfg = vit_config(
             args.preset, image_size=args.image_size, num_classes=args.classes
         )
-    params = import_torch_checkpoint(args.state_dict, cfg)
+        params = import_torch_checkpoint(args.state_dict, cfg)
     save_checkpoint(args.out, params)
     print(json.dumps({"arch": args.arch, "preset": args.preset, "out": str(args.out)}))
     return 0
@@ -688,10 +697,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("state_dict", help=".pth/.pt/.safetensors file")
     p.add_argument("out", help="output orbax checkpoint directory")
-    p.add_argument("--arch", choices=["swinv2", "vit"], default="swinv2")
+    p.add_argument("--arch", choices=["swinv2", "vit", "clip"], default="swinv2")
     p.add_argument("--preset", default="base")
     p.add_argument("--image-size", type=int, default=448)
-    p.add_argument("--classes", type=int, default=8192)
+    p.add_argument("--classes", type=int, default=8192,
+                   help="label count (taggers) or embed dim (clip)")
+    p.add_argument("--clip-variant", choices=["openai", "open_clip"], default="openai")
     p.set_defaults(fn=cmd_import_weights)
 
     p = sub.add_parser("reset", help="reset the catalog (timestamped backups)")

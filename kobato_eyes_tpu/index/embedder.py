@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from kobato_eyes_tpu.models.preprocess import (
+    CLIP_MEAN,
+    CLIP_STD,
     PreprocessSpec,
     normalize_on_device,
     shortside_centercrop_rgb,
@@ -56,11 +58,31 @@ class ImageEmbedder:
         embed_dim: int = 512,
         params: Any = None,
         checkpoint_path: str | Path | None = None,
+        clip_variant: str | None = None,  # "openai" | "open_clip" | None
         seed: int = 0,
     ) -> None:
-        self.cfg = vit_config(preset, image_size=image_size, patch_size=patch_size, num_classes=embed_dim)
+        # CLIP-visual tower geometry when a variant is named: ln_pre, no patch
+        # bias, QuickGELU for OpenAI weights, CLIP's own mean/std statistics.
+        variant_kw: dict[str, Any] = {}
+        if clip_variant is not None:
+            if clip_variant not in ("openai", "open_clip"):
+                raise ValueError(f"unknown clip_variant {clip_variant!r}")
+            variant_kw = dict(
+                ln_pre=True,
+                patch_bias=False,
+                act="quick_gelu" if clip_variant == "openai" else "gelu",
+            )
+        self.cfg = vit_config(
+            preset, image_size=image_size, patch_size=patch_size,
+            num_classes=embed_dim, **variant_kw,
+        )
         self.embed_dim = embed_dim
-        self.spec = PreprocessSpec(mode="pixai", size=image_size)  # mean/std normalize
+        mean, std = (CLIP_MEAN, CLIP_STD) if clip_variant else (None, None)
+        self.spec = (
+            PreprocessSpec(mode="pixai", size=image_size, mean=mean, std=std)
+            if clip_variant
+            else PreprocessSpec(mode="pixai", size=image_size)  # mean/std normalize
+        )
         self._model = ClipImageEncoder(self.cfg, embed_dim=embed_dim)
         if params is not None:
             self.params = params
@@ -72,6 +94,37 @@ class ImageEmbedder:
             logger.info("embedder: random-init weights (%s, %dpx)", preset, image_size)
             dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
             self.params = self._model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+    @classmethod
+    def from_clip_checkpoint(
+        cls,
+        state_dict_path: str | Path,
+        *,
+        clip_variant: str = "openai",
+        preset: str = "base",
+        image_size: int = 224,
+        patch_size: int = 32,
+        embed_dim: int = 512,
+    ) -> "ImageEmbedder":
+        """Build directly from a CLIP torch state dict (.pt/.safetensors)."""
+        from kobato_eyes_tpu.models.import_weights import clip_vit_params_from_torch_state
+
+        self = cls(
+            preset=preset, image_size=image_size, patch_size=patch_size,
+            embed_dim=embed_dim, clip_variant=clip_variant, params={},
+        )
+        if str(state_dict_path).endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            state = load_file(str(state_dict_path))
+        else:
+            import torch
+
+            state = torch.load(state_dict_path, map_location="cpu", weights_only=True)
+            if isinstance(state, dict) and "state_dict" in state:
+                state = state["state_dict"]
+        self.params = clip_vit_params_from_torch_state(state, self.cfg)
+        return self
 
     def prepare_batch_from_rgb(self, images: Sequence[np.ndarray]) -> np.ndarray:
         return np.stack([shortside_centercrop_rgb(a, self.cfg.image_size) for a in images])

@@ -254,6 +254,94 @@ def swin_params_from_torch_state(
     return params
 
 
+def clip_vit_params_from_torch_state(
+    state: Mapping[str, Any], cfg: ViTConfig
+) -> dict:
+    """OpenAI/open_clip CLIP *visual tower* state dict -> flax param tree for
+    ``index/embedder.ClipImageEncoder`` ({"vit": ..., "proj": ...}).
+
+    Accepts keys with or without the ``visual.`` prefix (a full CLIP state
+    dict or an extracted tower).  Expected naming (OpenAI CLIP / open_clip):
+      conv1.weight (no bias), class_embedding, positional_embedding,
+      ln_pre.{weight,bias},
+      transformer.resblocks.N.{ln_1,ln_2}.{weight,bias},
+      transformer.resblocks.N.attn.{in_proj_weight,in_proj_bias,
+                                     out_proj.weight,out_proj.bias},
+      transformer.resblocks.N.mlp.{c_fc,c_proj}.{weight,bias},
+      ln_post.{weight,bias}, proj
+
+    cfg must be built with ``ln_pre=True, patch_bias=False`` and
+    ``act="quick_gelu"`` for OpenAI checkpoints (open_clip LAION models use
+    plain GELU).  The reference's declared ANN model family is exactly this
+    tower (``/root/reference/pyproject.toml:50-52``, open_clip_torch).
+    """
+    d = cfg.hidden_dim
+    heads = cfg.num_heads
+    hd = d // heads
+    p = cfg.patch_size
+
+    prefix = "visual." if any(k.startswith("visual.") for k in state) else ""
+
+    def get(key: str) -> np.ndarray:
+        full = prefix + key
+        if full not in state:
+            raise KeyError(f"missing weight {full!r}")
+        return _np(state[full]).astype(np.float32)
+
+    conv = get("conv1.weight")  # (D, 3, P, P), no bias in CLIP
+    pos = get("positional_embedding")  # (T, D)
+    want_tokens = cfg.num_patches + 1
+    if pos.shape[0] != want_tokens:
+        raise ValueError(
+            f"positional_embedding has {pos.shape[0]} tokens, model expects "
+            f"{want_tokens} (interpolation not implemented)"
+        )
+
+    stacks: dict[str, list[np.ndarray]] = {}
+
+    def push(name: str, arr: np.ndarray) -> None:
+        stacks.setdefault(name, []).append(arr)
+
+    for i in range(cfg.depth):
+        pre = f"transformer.resblocks.{i}."
+        push("ln1/scale", get(pre + "ln_1.weight"))
+        push("ln1/bias", get(pre + "ln_1.bias"))
+        push("qkv/kernel", get(pre + "attn.in_proj_weight").T.reshape(d, 3, heads, hd))
+        push("qkv/bias", get(pre + "attn.in_proj_bias").reshape(3, heads, hd))
+        push("proj/kernel", get(pre + "attn.out_proj.weight").T.reshape(heads, hd, d))
+        push("proj/bias", get(pre + "attn.out_proj.bias"))
+        push("ln2/scale", get(pre + "ln_2.weight"))
+        push("ln2/bias", get(pre + "ln_2.bias"))
+        push("fc1/kernel", get(pre + "mlp.c_fc.weight").T)
+        push("fc1/bias", get(pre + "mlp.c_fc.bias"))
+        push("fc2/kernel", get(pre + "mlp.c_proj.weight").T)
+        push("fc2/bias", get(pre + "mlp.c_proj.bias"))
+
+    def stacked(name: str) -> np.ndarray:
+        return np.stack(stacks[name]).astype(np.float32)
+
+    vit: dict = {
+        "patch_embed": {"kernel": conv.transpose(2, 3, 1, 0).reshape(p * p * 3, d)},
+        "cls": get("class_embedding").reshape(1, 1, d),
+        "pos_embed": pos[None],
+        "ln_pre": {"scale": get("ln_pre.weight"), "bias": get("ln_pre.bias")},
+        "blocks": {
+            "block": {
+                "attn": {
+                    "qkv": {"kernel": stacked("qkv/kernel"), "bias": stacked("qkv/bias")},
+                    "proj": {"kernel": stacked("proj/kernel"), "bias": stacked("proj/bias")},
+                },
+                "ln1": {"scale": stacked("ln1/scale"), "bias": stacked("ln1/bias")},
+                "ln2": {"scale": stacked("ln2/scale"), "bias": stacked("ln2/bias")},
+                "fc1": {"kernel": stacked("fc1/kernel"), "bias": stacked("fc1/bias")},
+                "fc2": {"kernel": stacked("fc2/kernel"), "bias": stacked("fc2/bias")},
+            }
+        },
+        "ln_final": {"scale": get("ln_post.weight"), "bias": get("ln_post.bias")},
+    }
+    return {"vit": vit, "proj": {"kernel": get("proj")}}
+
+
 def import_torch_checkpoint(path: str, cfg: ViTConfig | SwinConfig) -> dict:
     """Load a .pth/.pt/.safetensors file and convert (torch required)."""
     if str(path).endswith(".safetensors"):

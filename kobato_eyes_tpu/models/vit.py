@@ -44,6 +44,11 @@ class ViTConfig:
     param_dtype: Any = jnp.float32
     remat: bool = False
     pool: str = "cls"  # "cls" | "gap"
+    # CLIP-visual variants (OpenAI/open_clip ViT towers): pre-transformer
+    # LayerNorm, bias-less patch embedding, QuickGELU activation.
+    ln_pre: bool = False
+    patch_bias: bool = True
+    act: str = "gelu"  # "gelu" | "quick_gelu"
 
     @property
     def num_patches(self) -> int:
@@ -106,7 +111,10 @@ class Block(nn.Module):
         x = x + Attention(cfg, name="attn")(ln("ln1")(x))
         h = ln("ln2")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        if cfg.act == "quick_gelu":  # OpenAI CLIP: x * sigmoid(1.702 x)
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
         return x + h
 
@@ -144,7 +152,10 @@ class ViT(nn.Module):
         # Patch embedding as a single big matmul: (B, T, p*p*c) @ (p*p*c, D).
         x = x.reshape(b, h // p, p, w // p, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, cfg.num_patches, p * p * c)
-        x = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="patch_embed")(x)
+        x = nn.Dense(
+            cfg.hidden_dim, use_bias=cfg.patch_bias,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="patch_embed",
+        )(x)
 
         cls = self.param("cls", nn.initializers.zeros, (1, 1, cfg.hidden_dim), cfg.param_dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.hidden_dim)), x], axis=1)
@@ -155,6 +166,10 @@ class ViT(nn.Module):
             cfg.param_dtype,
         )
         x = x + pos.astype(cfg.dtype)
+        if cfg.ln_pre:
+            x = nn.LayerNorm(
+                epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ln_pre"
+            )(x)
 
         scan = nn.scan(
             _ScanBlock,

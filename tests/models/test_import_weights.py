@@ -298,3 +298,76 @@ def test_swinv2_checkpoint_golden_tags(tmp_path, rng):
         if want_probs[i] >= max(thr.get(int(m.category), 1.0), tagger.score_floor)
     }
     assert got_tags == want_tags and got_tags, (got_tags, want_tags)
+
+
+class TorchCLIPVisual(torch.nn.Module):
+    """Minimal faithful CLIP visual tower (OpenAI semantics): bias-less patch
+    conv, class/positional embeddings, ln_pre, pre-norm blocks with standard
+    MHA (in_proj/out_proj) and QuickGELU MLP, ln_post on cls, linear proj."""
+
+    def __init__(self, img=16, patch=4, d=32, depth=2, heads=4, mlp=64, embed=20):
+        super().__init__()
+        n_tok = (img // patch) ** 2 + 1
+        self.d, self.heads = d, heads
+        self.conv1 = torch.nn.Conv2d(3, d, patch, stride=patch, bias=False)
+        self.class_embedding = torch.nn.Parameter(torch.randn(d) * 0.02)
+        self.positional_embedding = torch.nn.Parameter(torch.randn(n_tok, d) * 0.02)
+        self.ln_pre = torch.nn.LayerNorm(d)
+        self.transformer = torch.nn.Module()
+        self.transformer.resblocks = torch.nn.ModuleList()
+        for _ in range(depth):
+            blk = torch.nn.Module()
+            blk.ln_1 = torch.nn.LayerNorm(d)
+            blk.attn = torch.nn.MultiheadAttention(d, heads, batch_first=True)
+            blk.ln_2 = torch.nn.LayerNorm(d)
+            blk.mlp = torch.nn.ModuleDict({
+                "c_fc": torch.nn.Linear(d, mlp),
+                "c_proj": torch.nn.Linear(mlp, d),
+            })
+            self.transformer.resblocks.append(blk)
+        self.ln_post = torch.nn.LayerNorm(d)
+        self.proj = torch.nn.Parameter(torch.randn(d, embed) * d**-0.5)
+
+    def forward(self, x):  # (B, C, H, W) -> L2-normalized (B, embed)
+        b = x.shape[0]
+        x = self.conv1(x).flatten(2).transpose(1, 2)
+        cls = self.class_embedding.expand(b, 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding
+        x = self.ln_pre(x)
+        for blk in self.transformer.resblocks:
+            y = blk.ln_1(x)
+            y, _ = blk.attn(y, y, y, need_weights=False)
+            x = x + y
+            y = blk.ln_2(x)
+            y = blk.mlp["c_fc"](y)
+            y = y * torch.sigmoid(1.702 * y)  # QuickGELU
+            x = x + blk.mlp["c_proj"](y)
+        feat = self.ln_post(x[:, 0]) @ self.proj
+        return feat / feat.norm(dim=-1, keepdim=True).clamp_min(1e-6)
+
+
+def test_torch_clip_matches_flax_after_import(rng):
+    from kobato_eyes_tpu.index.embedder import ClipImageEncoder
+    from kobato_eyes_tpu.models.import_weights import clip_vit_params_from_torch_state
+    from kobato_eyes_tpu.models.vit import vit_config
+
+    torch.manual_seed(5)
+    tm = TorchCLIPVisual()
+    tm.eval()
+    cfg = vit_config(
+        "tiny", image_size=16, patch_size=4, hidden_dim=32, depth=2,
+        num_heads=4, mlp_dim=64, num_classes=20,
+        ln_pre=True, patch_bias=False, act="quick_gelu",
+        dtype=jnp.float32,
+    )
+    # prefixed keys (full-CLIP state dict shape)
+    state = {f"visual.{k}": v for k, v in tm.state_dict().items()}
+    params = clip_vit_params_from_torch_state(state, cfg)
+
+    x = rng.uniform(0, 1, size=(3, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(
+        ClipImageEncoder(cfg, embed_dim=20).apply({"params": params}, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=3e-5)
