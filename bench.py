@@ -80,16 +80,28 @@ def main() -> None:
 
     scanner = TpuDuplicateScanner(config, block=4096)
     device_clusters = scanner.build_clusters(files)  # warmup/compile
-    metrics.reset()
-    t0 = time.perf_counter()
-    device_clusters = scanner.build_clusters(files)
-    device_s = time.perf_counter() - t0
+    # median of 3 timed runs: the tunnel VM's wall clock is noisy enough to
+    # swing a single run by 30%+, which would make round-over-round numbers
+    # meaningless
+    runs: list[tuple[float, dict]] = []
+    for _ in range(3):
+        metrics.reset()
+        t0 = time.perf_counter()
+        device_clusters = scanner.build_clusters(files)
+        elapsed = time.perf_counter() - t0
+        runs.append((elapsed, {
+            name: round(stats["total"], 4)
+            for name, stats in metrics.snapshot()["timers"].items()
+        }))
+    runs.sort(key=lambda r: r[0])
+    device_s, phase_report = runs[len(runs) // 2]
     device_pps = pair_space / device_s
-    phase_report = {
-        name: round(stats["total"], 4)
-        for name, stats in metrics.snapshot()["timers"].items()
-    }
-    print(f"device scan {device_s:.3f}s, phases: {phase_report}", file=sys.stderr)
+    kernel_s = phase_report.get("dup.scan.device", device_s)
+    print(
+        f"device scan {device_s:.3f}s (median of 3), phases: {phase_report}; "
+        f"device-dispatch-only {kernel_s:.3f}s = {pair_space / kernel_s:.3g} pairs/s",
+        file=sys.stderr,
+    )
 
     # --- CPU reference on the same data ---
     cpu_n = n
@@ -104,9 +116,12 @@ def main() -> None:
         cpu_pps = (probe_n * (probe_n - 1) / 2) / probe_s
         parity_files = files[:probe_n]
     else:
-        t0 = time.perf_counter()
-        cpu_clusters = cpu_build_clusters(files, config)
-        cpu_s = time.perf_counter() - t0
+        cpu_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cpu_clusters = cpu_build_clusters(files, config)
+            cpu_times.append(time.perf_counter() - t0)
+        cpu_s = sorted(cpu_times)[1]  # median of 3 (same rationale as device)
         cpu_pps = pair_space / cpu_s
         parity_files = None
         # cluster identity assertion (full run)

@@ -18,6 +18,7 @@ from kobato_eyes_tpu.dup.types import (
     DuplicateCluster,
     DuplicateFileMeta,
     DuplicateScanConfig,
+    NodeColumnCache,
     assemble_clusters,
 )
 from kobato_eyes_tpu.ops.hamming import BandedHammingScanner
@@ -36,7 +37,8 @@ class TpuDuplicateScanner:
             band_bits=self._config.band_bits, band_count=self._config.band_count
         )
         # per-file string sort keys survive across scans (service steady state)
-        self._key_cache: dict[int, tuple[str, str, str, str, int]] = {}
+        self._key_cache: dict[int, tuple[object, str, str, str, int]] = {}
+        self._column_cache = NodeColumnCache()
 
     @property
     def config(self) -> DuplicateScanConfig:
@@ -72,7 +74,7 @@ class TpuDuplicateScanner:
             keep = dists <= t
             out[t] = assemble_clusters(
                 files_by_id, (ids[ei[keep]], ids[ej[keep]], dists[keep]),
-                key_cache=self._key_cache,
+                key_cache=self._key_cache, column_cache=self._column_cache,
             ) if len(unique) >= 2 else []
         return out
 
@@ -89,7 +91,8 @@ class TpuDuplicateScanner:
             files_by_id = dict(zip(ids.tolist(), unique))
             # array fast path into the vectorized assembly (no per-edge tuples)
             clusters = assemble_clusters(
-                files_by_id, (ids[ei], ids[ej], dists), key_cache=self._key_cache
+                files_by_id, (ids[ei], ids[ej], dists),
+                key_cache=self._key_cache, column_cache=self._column_cache,
             )
         logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
         return clusters
@@ -111,16 +114,28 @@ class TpuDuplicateScanner:
 
         # Rows sharing a file_id would self-pair in index space; the reference
         # skips a.file_id == b.file_id pairs, so deduplicate rows up front.
-        seen: set[int] = set()
-        unique: list[DuplicateFileMeta] = []
-        for f in candidates:
-            if f.file_id not in seen:
-                seen.add(f.file_id)
-                unique.append(f)
-
-        ids = np.array([f.file_id for f in unique], dtype=np.int64)
-        ph = np.array([int(f.phash) & U64_MASK for f in unique], dtype=np.uint64)
-        sizes = np.array([float(f.size or 0) for f in unique], dtype=np.float64)
+        # Fast path: ids already unique (the common catalog case) — one numpy
+        # check instead of a 70k-iteration set loop.
+        ids_all = np.fromiter(
+            (f.file_id for f in candidates), dtype=np.int64, count=len(candidates)
+        )
+        if len(np.unique(ids_all)) == len(ids_all):
+            unique = candidates
+            ids = ids_all
+        else:
+            seen: set[int] = set()
+            unique = []
+            for f in candidates:
+                if f.file_id not in seen:
+                    seen.add(f.file_id)
+                    unique.append(f)
+            ids = np.fromiter((f.file_id for f in unique), dtype=np.int64, count=len(unique))
+        ph = np.fromiter(
+            (f.phash & U64_MASK for f in unique), dtype=np.uint64, count=len(unique)
+        )
+        sizes = np.fromiter(
+            (f.size or 0 for f in unique), dtype=np.float64, count=len(unique)
+        )
 
         embeddings = None
         if cfg.cosine_threshold is not None and all(

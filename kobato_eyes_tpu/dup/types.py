@@ -118,11 +118,83 @@ def cluster_sort_key(cluster: DuplicateCluster) -> tuple:
     )
 
 
+class NodeColumnCache:
+    """Vectorized cross-scan cache of per-file sort-key columns.
+
+    The assembly's per-node Python work (string keys, size/resolution
+    extraction) is invariant across scans of the same library; this cache
+    keeps the columns as numpy arrays keyed by a sorted file-id axis so a
+    steady-state re-scan (or each threshold of a sweep) gathers them with
+    searchsorted instead of 35k-iteration Python loops.  Hits are
+    all-or-nothing and validated by meta-object identity — any rebuilt or
+    mutated meta falls back to the exact per-node path.
+    """
+
+    __slots__ = ("fids", "metas", "sizes", "res", "extpri", "pathlow", "namelow", "suffix")
+
+    def __init__(self) -> None:
+        import numpy as np
+
+        self.fids = np.empty(0, dtype=np.int64)
+        self.metas = np.empty(0, dtype=object)
+        self.sizes = np.empty(0, dtype=np.int64)
+        self.res = np.empty(0, dtype=np.int64)
+        self.extpri = np.empty(0, dtype=np.int64)
+        self.pathlow = np.empty(0, dtype="U1")
+        self.namelow = np.empty(0, dtype="U1")
+        self.suffix = np.empty(0, dtype="U1")
+
+    def lookup(self, nodes, metas) -> tuple | None:
+        import numpy as np
+
+        if len(self.fids) < len(nodes) or len(nodes) == 0:
+            return None
+        pos = np.searchsorted(self.fids, nodes)
+        if int(pos[-1]) >= len(self.fids) or not (self.fids[pos] == nodes).all():
+            return None
+        stored = self.metas[pos]
+        if not all(a is b for a, b in zip(stored.tolist(), metas)):
+            return None
+        return (
+            self.sizes[pos], self.res[pos], self.extpri[pos],
+            self.pathlow[pos], self.namelow[pos], self.suffix[pos],
+        )
+
+    def store(self, nodes, metas, sizes, res, extpri, pathlow, namelow, suffix) -> None:
+        import numpy as np
+
+        metas_arr = np.empty(len(metas), dtype=object)
+        metas_arr[:] = metas
+        cols_new = (metas_arr, sizes.astype(np.int64), res.astype(np.int64),
+                    extpri.astype(np.int64), np.asarray(pathlow),
+                    np.asarray(namelow), np.asarray(suffix))
+        if len(self.fids):
+            keep = ~np.isin(self.fids, nodes)
+            fids = np.concatenate([self.fids[keep], nodes])
+            cols = tuple(
+                np.concatenate([old[keep], new])
+                for old, new in zip(
+                    (self.metas, self.sizes, self.res, self.extpri,
+                     self.pathlow, self.namelow, self.suffix),
+                    cols_new,
+                )
+            )
+            order = np.argsort(fids, kind="stable")
+            self.fids = fids[order]
+            (self.metas, self.sizes, self.res, self.extpri,
+             self.pathlow, self.namelow, self.suffix) = (c[order] for c in cols)
+        else:
+            self.fids = nodes.copy()
+            (self.metas, self.sizes, self.res, self.extpri,
+             self.pathlow, self.namelow, self.suffix) = cols_new
+
+
 def assemble_clusters(
     files_by_id: dict[int, DuplicateFileMeta],
     edges: Sequence[tuple[int, int, int | None]],
     *,
-    key_cache: dict[int, tuple[str, str, str, str, int]] | None = None,
+    key_cache: dict[int, tuple[object, str, str, str, int]] | None = None,
+    column_cache: NodeColumnCache | None = None,
 ) -> list[DuplicateCluster]:
     """Edges (file_id_a, file_id_b, hamming) -> ordered clusters (vectorized).
 
@@ -132,6 +204,8 @@ def assemble_clusters(
     was the scan's dominant cost.
     """
     import numpy as np
+
+    from kobato_eyes_tpu.utils.metrics import metrics
 
     if isinstance(edges, tuple) and len(edges) == 3:
         # array fast path: (ids_a, ids_b, hamming) with -1 encoding "no dist"
@@ -147,6 +221,7 @@ def assemble_clusters(
     if m == 0:
         return []
 
+    _t_graph = metrics.timer("dup.assemble.graph"); _t_graph.__enter__()
     nodes, inverse = np.unique(np.concatenate([ea, eb]), return_inverse=True)
     ia, ib = inverse[:m], inverse[m:]
     k = len(nodes)
@@ -163,9 +238,11 @@ def assemble_clusters(
     np.minimum.at(best_h, ia[has_h], eh[has_h])
     np.minimum.at(best_h, ib[has_h], eh[has_h])
 
-    metas = [files_by_id.get(int(fid)) for fid in nodes]
-    present = np.array([mt is not None for mt in metas])
-    if not present.all():
+    _t_graph.__exit__(None, None, None)
+    _t_cols = metrics.timer("dup.assemble.columns"); _t_cols.__enter__()
+    metas = list(map(files_by_id.get, nodes.tolist()))
+    if None in metas:
+        present = np.array([mt is not None for mt in metas])
         idx = np.nonzero(present)[0]
         nodes, labels, best_h = nodes[idx], labels[idx], best_h[idx]
         metas = [metas[i] for i in idx]
@@ -173,40 +250,50 @@ def assemble_clusters(
     if k == 0:
         return []
 
-    sizes = np.fromiter(((mt.size or 0) for mt in metas), dtype=np.int64, count=k)
-    res = np.fromiter((mt.resolution for mt in metas), dtype=np.int64, count=k)
-    # string keys in one Python pass (measurably faster than np.char at 70k;
-    # Path property calls per key were the original hotspot)
-    pathlow_l: list[str] = []
-    namelow_l: list[str] = []
-    suffix_l: list[str] = []
-    extpri_np = np.zeros(k, dtype=np.int64)
-    for i, mt in enumerate(metas):
-        fid = mt.file_id
-        cached = key_cache.get(fid) if key_cache is not None else None
-        if cached is not None and cached[0] == str(mt.path):
-            _, p, name, sfx, pri = cached
-        else:
-            # pathlib-name semantics: split only on '/' (a backslash is a
-            # legal POSIX filename character and stays part of the name key)
-            p = str(mt.path).lower()
-            name = p.rsplit("/", 1)[-1]
-            stem, dot, ext = name.rpartition(".")
-            # pathlib suffix semantics: '' for dotfiles ('.hidden') AND for
-            # trailing dots ('name.')
-            sfx = ("." + ext) if (stem and ext) else ""
-            pri = EXTENSION_PRIORITY.get(ext, 0) if sfx else 0
-            if key_cache is not None:
-                key_cache[fid] = (str(mt.path), p, name, sfx, pri)
-        pathlow_l.append(p)
-        namelow_l.append(name)
-        suffix_l.append(sfx)
-        extpri_np[i] = pri
-    pathlow = np.array(pathlow_l)
-    namelow = np.array(namelow_l)
-    suffix = np.array(suffix_l)
-    extpri = extpri_np
+    cols = column_cache.lookup(nodes, metas) if column_cache is not None else None
+    if cols is not None:
+        sizes, res, extpri, pathlow, namelow, suffix = cols
+    else:
+        sizes = np.fromiter(((mt.size or 0) for mt in metas), dtype=np.int64, count=k)
+        res = np.fromiter((mt.resolution for mt in metas), dtype=np.int64, count=k)
+        # string keys in one Python pass (measurably faster than np.char at
+        # 70k; Path property calls per key were the original hotspot)
+        pathlow_l: list[str] = []
+        namelow_l: list[str] = []
+        suffix_l: list[str] = []
+        extpri_np = np.zeros(k, dtype=np.int64)
+        for i, mt in enumerate(metas):
+            fid = mt.file_id
+            cached = key_cache.get(fid) if key_cache is not None else None
+            # identity hit first: service re-scans pass the same meta objects,
+            # and `is` skips two str(Path) calls per node (measurable at 70k)
+            if cached is not None and (cached[0] is mt.path or str(cached[0]) == str(mt.path)):
+                _, p, name, sfx, pri = cached
+            else:
+                # pathlib-name semantics: split only on '/' (a backslash is a
+                # legal POSIX filename character and stays part of the name key)
+                p = str(mt.path).lower()
+                name = p.rsplit("/", 1)[-1]
+                stem, dot, ext = name.rpartition(".")
+                # pathlib suffix semantics: '' for dotfiles ('.hidden') AND for
+                # trailing dots ('name.')
+                sfx = ("." + ext) if (stem and ext) else ""
+                pri = EXTENSION_PRIORITY.get(ext, 0) if sfx else 0
+                if key_cache is not None:
+                    key_cache[fid] = (mt.path, p, name, sfx, pri)
+            pathlow_l.append(p)
+            namelow_l.append(name)
+            suffix_l.append(sfx)
+            extpri_np[i] = pri
+        pathlow = np.array(pathlow_l)
+        namelow = np.array(namelow_l)
+        suffix = np.array(suffix_l)
+        extpri = extpri_np
+        if column_cache is not None:
+            column_cache.store(nodes, metas, sizes, res, extpri, pathlow, namelow, suffix)
 
+    _t_cols.__exit__(None, None, None)
+    _t_sort = metrics.timer("dup.assemble.sort"); _t_sort.__enter__()
     # drop singleton components (reference: clusters need >= 2 members)
     counts = np.bincount(labels, minlength=labels.max() + 1)
     keep = counts[labels] >= 2
@@ -243,24 +330,59 @@ def assemble_clusters(
     maxsz_by_label = np.zeros(n_labels_total, dtype=np.int64)
     np.maximum.at(maxsz_by_label, labels, sizes)
 
-    hamm: list[int | None] = [
-        None if h == big else int(h) for h in best_h.tolist()
-    ]
-    nodes_l = nodes.tolist()
-    order_l = entry_order.tolist()
+    # cluster ordering decided on arrays BEFORE any objects exist
+    # (cluster_sort_key = (-max member size, keeper path)), then objects are
+    # built directly in final order with C-level map/zip passes
+    first_rows = entry_order[starts]
+    c_order = np.lexsort((pathlow[first_rows], -maxsz_by_label[labels[first_rows]]))
 
-    clusters: list[DuplicateCluster] = []
-    cluster_keys: list[tuple] = []
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        rows = order_l[s:e]
-        entries = [DuplicateClusterEntry(metas[r], hamm[r]) for r in rows]
-        clusters.append(DuplicateCluster(entries, nodes_l[rows[0]]))
-        cluster_keys.append(
-            (-int(maxsz_by_label[labels[rows[0]]]), str(pathlow[rows[0]]))
+    _t_sort.__exit__(None, None, None)
+    _t_build = metrics.timer("dup.assemble.build"); _t_build.__enter__()
+    # The build allocates ~2 objects per cluster member; generational GC
+    # triggered mid-burst rescans the whole (large) meta population several
+    # times.  Pause collection for the burst — measurably faster at 70k.
+    import gc
+
+    _gc_was_enabled = gc.isenabled()
+    if _gc_was_enabled:
+        gc.disable()
+    keeper_ids = np.ascontiguousarray(nodes[first_rows][c_order], dtype=np.int64)
+    starts_o = np.ascontiguousarray(starts[c_order], dtype=np.int64)
+    ends_o = np.ascontiguousarray(ends[c_order], dtype=np.int64)
+    out = None
+    try:
+        # native object-construction burst (~5x the bytecode loop at 70k)
+        from kobato_eyes_tpu.native.build import load_extension_module
+
+        _assembly = load_extension_module("assembly")
+        out = _assembly.build_clusters(
+            DuplicateClusterEntry, DuplicateCluster, metas,
+            np.ascontiguousarray(np.where(best_h == big, np.int64(-1), best_h)),
+            np.ascontiguousarray(entry_order, dtype=np.int64),
+            starts_o, ends_o, keeper_ids,
         )
-
-    order = sorted(range(len(clusters)), key=lambda i: cluster_keys[i])
-    return [clusters[i] for i in order]
+    except Exception:  # toolchain-less host: keep the pure-Python burst
+        logger_build = __import__("logging").getLogger(__name__)
+        logger_build.debug("native assembly unavailable; python fallback", exc_info=True)
+    if out is None:
+        hamm_arr = best_h.astype(object)  # object ints in one C pass
+        hamm_arr[best_h == big] = None
+        metas_arr = np.empty(k, dtype=object)
+        metas_arr[:] = metas
+        entries_all = list(map(
+            DuplicateClusterEntry,
+            metas_arr[entry_order].tolist(),
+            hamm_arr[entry_order].tolist(),
+        ))
+        groups = map(
+            entries_all.__getitem__,
+            map(slice, starts_o.tolist(), ends_o.tolist()),
+        )
+        out = list(map(DuplicateCluster, groups, keeper_ids.tolist()))
+    if _gc_was_enabled:
+        gc.enable()
+    _t_build.__exit__(None, None, None)
+    return out
 
 
 def assemble_clusters_py(

@@ -25,6 +25,46 @@ class NativeBuildError(RuntimeError):
     """g++ compilation of a native component failed."""
 
 
+def load_extension_module(name: str):
+    """Load (building if needed) a CPython extension module ``<name>.cpp``.
+
+    Unlike :func:`load_native_library` (plain C ABI via ctypes), this builds
+    against the CPython API — used where the hot path must construct Python
+    objects (e.g. the dup-cluster assembly burst).  The module must define
+    ``PyInit__<name>``.
+    """
+    import importlib.machinery
+    import importlib.util
+    import sysconfig
+
+    with _LOCK:
+        key = f"module:{name}"
+        if key in _CACHE:
+            return _CACHE[key]
+        src = _NATIVE_DIR / f"{name}.cpp"
+        so = _NATIVE_DIR / f"_{name}.so"
+        if not src.exists():
+            raise FileNotFoundError(src)
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            tmp = so.with_suffix(".tmp.so")
+            include = sysconfig.get_paths()["include"]
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+                f"-I{include}", str(src), "-o", str(tmp),
+            ]
+            logger.info("building native extension: %s", " ".join(cmd))
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                raise NativeBuildError(f"g++ failed for {name}:\n{proc.stderr}")
+            tmp.replace(so)
+        loader = importlib.machinery.ExtensionFileLoader(f"_{name}", str(so))
+        spec = importlib.util.spec_from_loader(f"_{name}", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        _CACHE[key] = mod
+        return mod
+
+
 def load_native_library(name: str) -> ctypes.CDLL:
     """Load (building if needed) the shared object for ``name``."""
     with _LOCK:

@@ -442,27 +442,13 @@ def edge_scan_banded(
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=("window", "max_edges", "use_size", "band_bits", "band_count"),
-)
-def _scan_resident_kernel(
-    ph: jnp.ndarray,  # (N, 2) uint32 [hi, lo] — device-resident
-    sizes: jnp.ndarray,  # (N,) float32
-    ok: jnp.ndarray,  # (N, B) bool bucket-cap mask
-    hamming_threshold: jnp.ndarray,
-    size_ratio: jnp.ndarray,
-    *,
-    window: int,
-    max_edges: int,
-    use_size: bool,
-    band_bits: int,
-    band_count: int,
-):
-    """Whole scan in ONE dispatch over resident hashes: band-key extraction,
-    per-band stable sort, windowed compare, edge extraction — returns GLOBAL
-    indices so the host does no permutation mapping."""
-    n = ph.shape[0]
+@partial(jax.jit, static_argnames=("band_bits", "band_count"))
+def _band_sort_kernel(ph: jnp.ndarray, *, band_bits: int, band_count: int):
+    """Band-key extraction + per-band stable sort.
+
+    Split out of the scan so the sort (the scan's largest device cost, ~40 ms
+    at 70k on-device) runs ONCE per resident population: threshold sweeps and
+    re-scans reuse the cached (order, sk) device arrays."""
     hi = ph[:, 0]
     lo = ph[:, 1]
     key_mask = jnp.uint32((1 << band_bits) - 1)
@@ -478,11 +464,82 @@ def _scan_resident_kernel(
         keys.append(k & key_mask)
     sk_all = jnp.stack(keys)  # (B, N)
     order = jnp.argsort(sk_all, axis=1, stable=True).astype(jnp.int32)
-
     sk = jnp.take_along_axis(sk_all, order, axis=1)
+    return order, sk
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _scan_bitmask_kernel(
+    ph: jnp.ndarray,  # (N, 2) uint32 [hi, lo] — device-resident
+    order: jnp.ndarray,  # (B, N) int32 per-band sort order (digest-cached)
+    sk: jnp.ndarray,  # (B, N) uint32 sorted band keys (digest-cached)
+    hamming_threshold: jnp.ndarray,
+    *,
+    window: int,
+):
+    """Windowed candidate scan as DENSE shifted compares -> per-row bitmask.
+
+    The gather/nonzero formulation costs ~90 ms at 70k on TPU (4.5M-element
+    take_along_axis + compaction); comparing each sorted row against its next
+    d in 1..window neighbors via static slices is pure vector work (~2 ms).
+    Output is a (B, N) uint16/uint32 bitmask (bit d-1 set = edge to the d-th
+    next sorted row): fixed shape (no edge-cap/retry protocol, no recompiles),
+    one small transfer, expanded to (i, j) pairs on the host.  Size-ratio /
+    bucket-cap filtering and exact distances are host post-passes over the
+    tiny edge list, so the kernel has exactly one compiled variant per
+    (n, window).
+    """
+    nb, n = sk.shape
+    shi = ph[:, 0][order]
+    slo = ph[:, 1][order]
+
+    out_dtype = jnp.uint16 if window <= 16 else jnp.uint32
+    bits = jnp.zeros((nb, n), out_dtype)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
+    for d in range(1, window + 1):
+        # out[:, i] vs in[:, i+d]: static slice + pad keeps everything dense
+        pad_k = jnp.full((nb, d), 0, sk.dtype)
+        pad_h = jnp.zeros((nb, d), shi.dtype)
+        sk_d = jnp.concatenate([sk[:, d:], pad_k], axis=1)
+        hi_d = jnp.concatenate([shi[:, d:], pad_h], axis=1)
+        lo_d = jnp.concatenate([slo[:, d:], pad_h], axis=1)
+        dist = (
+            jax.lax.population_count(shi ^ hi_d)
+            + jax.lax.population_count(slo ^ lo_d)
+        ).astype(jnp.int32)
+        hit = (sk == sk_d) & (pos < n - d) & (dist <= hamming_threshold)
+        bits = bits | (hit.astype(out_dtype) << out_dtype(d - 1))
+    return bits
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window", "max_edges", "use_size", "use_ok", "band_count"),
+)
+def _scan_resident_kernel(
+    ph: jnp.ndarray,  # (N, 2) uint32 [hi, lo] — device-resident
+    sizes: jnp.ndarray,  # (N,) float32
+    order: jnp.ndarray,  # (B, N) int32 per-band sort order (digest-cached)
+    sk: jnp.ndarray,  # (B, N) uint32 sorted band keys (digest-cached)
+    ok: jnp.ndarray,  # (N, B) bool bucket-cap mask (dummy when not use_ok)
+    hamming_threshold: jnp.ndarray,
+    size_ratio: jnp.ndarray,
+    *,
+    window: int,
+    max_edges: int,
+    use_size: bool,
+    use_ok: bool,
+    band_count: int,
+):
+    """Windowed compare + edge extraction over pre-sorted resident hashes —
+    returns GLOBAL indices so the host does no permutation mapping.  The
+    bucket-cap mask operand is only uploaded/applied when a pair cap is set
+    (use_ok); the common cap-free scan skips that host->device transfer."""
+    n = ph.shape[0]
+    hi = ph[:, 0]
+    lo = ph[:, 1]
     shi = hi[order]
     slo = lo[order]
-    sok = jnp.take_along_axis(ok.T, order, axis=1)
     ssz = sizes[order]
 
     nb = band_count
@@ -494,7 +551,9 @@ def _scan_resident_kernel(
     gather = lambda arr: jnp.take_along_axis(arr[:, None, :], jjc, axis=2)  # noqa: E731
 
     eq = (sk[:, None, :] == gather(sk)) & valid
-    eq &= sok[:, None, :] & gather(sok)
+    if use_ok:
+        sok = jnp.take_along_axis(ok.T, order, axis=1)
+        eq &= sok[:, None, :] & gather(sok)
     dist = (
         jax.lax.population_count(shi[:, None, :] ^ gather(shi))
         + jax.lax.population_count(slo[:, None, :] ^ gather(slo))
@@ -536,7 +595,7 @@ class BandedHammingScanner:
         band_bits: int = 16,
         band_count: int = 4,
         max_window: int = 256,
-        max_edges_hint: int = 1 << 17,
+        max_edges_hint: int = 1 << 16,
     ) -> None:
         if band_bits * band_count > 64 or band_bits > 32:
             raise ValueError("band config too large")
@@ -547,6 +606,23 @@ class BandedHammingScanner:
         self._digest: bytes | None = None
         self._ph_dev: jnp.ndarray | None = None
         self._sizes_dev: jnp.ndarray | None = None
+        self._order_dev: jnp.ndarray | None = None
+        self._sk_dev: jnp.ndarray | None = None
+        self._order_host: np.ndarray | None = None
+        self._max_run: int = 1
+        # Device-resident scalar operands, memoized by value: a fresh
+        # jnp.int32(...) per call is a host->device transfer, and on a
+        # tunneled chip every such transfer pays the full link RTT (measured
+        # ~0.2s of a 0.26s dispatch before this cache).
+        self._const_cache: dict[tuple, jnp.ndarray] = {}
+
+    def _dev_const(self, key: tuple, make) -> jnp.ndarray:
+        v = self._const_cache.get(key)
+        if v is None:
+            v = make()
+            v.block_until_ready()
+            self._const_cache[key] = v
+        return v
 
     def _ensure_resident(self, ph_u64: np.ndarray, sizes: np.ndarray) -> None:
         import hashlib
@@ -556,7 +632,20 @@ class BandedHammingScanner:
             return
         self._ph_dev = jnp.asarray(u64_to_u32pair(ph_u64))
         self._sizes_dev = jnp.asarray(sizes.astype(np.float32))
+        # per-band sort is population-only: compute once, reuse across
+        # thresholds/sweeps (the scan's largest device cost)
+        self._order_dev, self._sk_dev = _band_sort_kernel(
+            self._ph_dev, band_bits=self.band_bits, band_count=self.band_count
+        )
+        self._order_host = None  # fetched lazily, once per population
+        self._max_run = 0  # unknown for this population; recomputed lazily
         self._digest = digest
+
+    def _order_np(self) -> np.ndarray:
+        """Host copy of the per-band sort order (one fetch per population)."""
+        if self._order_host is None:
+            self._order_host = np.asarray(self._order_dev).astype(np.int64)
+        return self._order_host
 
     def scan(
         self,
@@ -575,15 +664,25 @@ class BandedHammingScanner:
             return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
         sizes_f = (sizes if sizes is not None else np.zeros(n)).astype(np.float64)
         use_size = size_ratio is not None and size_ratio > 0 and sizes is not None
+        use_ok = bucket_pair_cap is not None
 
-        # host: bucket stats (cap mask + window sizing + oversized runs)
+        with metrics.timer("dup.scan.upload"):
+            self._ensure_resident(ph_u64, sizes_f)
+
+        # host: bucket stats — the cap mask only when a pair cap is set, and
+        # max-run window sizing only once per resident population
         with metrics.timer("dup.scan.bucket_stats"):
-            keys = band_keys_np(ph_u64, self.band_bits, self.band_count)
-            ok = bucket_ok_np(keys, bucket_pair_cap)
-            max_run = 1
-            for b in range(self.band_count):
-                _, counts = np.unique(keys[:, b], return_counts=True)
-                max_run = max(max_run, int(counts.max()))
+            keys = None
+            if use_ok or self._max_run == 0:
+                keys = band_keys_np(ph_u64, self.band_bits, self.band_count)
+            if self._max_run == 0:
+                max_run = 1
+                for b in range(self.band_count):
+                    _, counts = np.unique(keys[:, b], return_counts=True)
+                    max_run = max(max_run, int(counts.max()))
+                self._max_run = max_run
+            max_run = self._max_run
+            ok = bucket_ok_np(keys, bucket_pair_cap) if use_ok else None
         window = min(max_run - 1, self.max_window, n - 1)
         if window > 0:
             window = min(max(8, int(2 ** np.ceil(np.log2(window)))), self.max_window, n - 1)
@@ -591,27 +690,77 @@ class BandedHammingScanner:
         out_i: list[np.ndarray] = []
         out_j: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        if window > 0:
+        if 0 < window <= 32:
+            # dense bitmask path: fixed-shape output, no caps, no gathers
+            thr_dev = self._dev_const(
+                ("thr", int(hamming_threshold)),
+                lambda: jnp.int32(hamming_threshold),
+            )
+            with metrics.timer("dup.scan.device"):
+                bits = np.asarray(
+                    _scan_bitmask_kernel(
+                        self._ph_dev, self._order_dev, self._sk_dev, thr_dev,
+                        window=window,
+                    )
+                ).astype(np.uint32)
+            with metrics.timer("dup.scan.expand"):
+                order_h = self._order_np()
+                b_hit, i_hit = np.nonzero(bits)
+                w_hit = bits[b_hit, i_hit]
+                for d in range(1, window + 1):
+                    sel = (w_hit >> np.uint32(d - 1)) & 1 == 1
+                    if not sel.any():
+                        continue
+                    bsel = b_hit[sel]
+                    isel = i_hit[sel]
+                    gi = order_h[bsel, isel]
+                    gj = order_h[bsel, isel + d]
+                    ei_w = np.minimum(gi, gj)
+                    ej_w = np.maximum(gi, gj)
+                    if use_ok:
+                        keep = ok[ei_w, bsel] & ok[ej_w, bsel]
+                        ei_w, ej_w = ei_w[keep], ej_w[keep]
+                    out_i.append(ei_w)
+                    out_j.append(ej_w)
+                if out_i:
+                    ei_all = np.concatenate(out_i)
+                    ej_all = np.concatenate(out_j)
+                    if use_size:
+                        keep = _exact_size_ratio_keep(
+                            ei_all, ej_all, sizes_f, float(size_ratio)
+                        )
+                        ei_all, ej_all = ei_all[keep], ej_all[keep]
+                    d_all = popcount64_np(ph_u64[ei_all] ^ ph_u64[ej_all]).astype(np.int64)
+                    out_i, out_j, out_d = [ei_all], [ej_all], [d_all]
+        elif window > 0:
+            # wide windows (rare, dense populations): legacy packed-edge path
             if n >= (1 << 20):
                 raise ValueError(
                     "resident scan packs row indices into 20 bits (n < 1M); "
                     "shard larger populations (parallel/sharded_scan.py)"
                 )
-            with metrics.timer("dup.scan.upload"):
-                self._ensure_resident(ph_u64, sizes_f)
-                ok_dev = jnp.asarray(ok)
+            ok_dev = (
+                jnp.asarray(ok) if use_ok
+                else self._dev_const(("ok_dummy",), lambda: jnp.zeros((1, 1), bool))
+            )
+            thr_dev = self._dev_const(
+                ("thr", int(hamming_threshold)),
+                lambda: jnp.int32(hamming_threshold),
+            )
+            relaxed = (size_ratio or 0.0) * (1.0 - _SIZE_RATIO_F32_SLACK)
+            ratio_dev = self._dev_const(
+                ("ratio", relaxed), lambda: jnp.float32(relaxed)
+            )
             cap = self.max_edges_hint
             with metrics.timer("dup.scan.device"):
                 while True:
                     packed = np.asarray(
                         _scan_resident_kernel(
-                            self._ph_dev, self._sizes_dev, ok_dev,
-                            jnp.int32(hamming_threshold),
-                            jnp.float32(
-                                (size_ratio or 0.0) * (1.0 - _SIZE_RATIO_F32_SLACK)
-                            ),
+                            self._ph_dev, self._sizes_dev,
+                            self._order_dev, self._sk_dev, ok_dev,
+                            thr_dev, ratio_dev,
                             window=window, max_edges=cap, use_size=use_size,
-                            band_bits=self.band_bits, band_count=self.band_count,
+                            use_ok=use_ok, band_count=self.band_count,
                         )
                     )  # one transfer: row0 = gi (+count in last slot), row1 = gj|d<<20
                     count = int(packed[0, cap - 1])
@@ -634,13 +783,16 @@ class BandedHammingScanner:
         # oversized buckets -> exact host fallback (same as edge_scan_banded)
         if max_run - 1 > window:
             ph64 = ph_u64
+            if keys is None:
+                keys = band_keys_np(ph_u64, self.band_bits, self.band_count)
             for b in range(self.band_count):
                 keys_b = keys[:, b]
                 order = np.argsort(keys_b, kind="stable")
                 starts, lengths = _run_lengths(keys_b[order])
                 for run in np.nonzero(lengths - 1 > window)[0]:
                     members = order[starts[run] : starts[run] + lengths[run]]
-                    members = members[ok[members, b]]
+                    if use_ok:
+                        members = members[ok[members, b]]
                     m = members.shape[0]
                     if m < 2:
                         continue
