@@ -71,15 +71,22 @@ class TagIndexEpoch:
     tag_cats: np.ndarray  # (T,) int32
     name_to_tid: dict[str, int]
     # CSR postings, tag-major (device + host mirrors; the host copy serves
-    # f64 relevance sums that must order exactly like SQLite's SUM)
+    # f64 relevance sums that must order exactly like SQLite's SUM).
+    # Device arrays are PADDED to power-of-two buckets (pad entries scatter to
+    # the dummy row n_pad-1 / dummy tag t_pad-1): a delta epoch with slightly
+    # different sizes keeps the same padded shapes, so the shape-generic
+    # query programs compiled for the previous epoch are reused as-is.
     offsets: np.ndarray  # (T+1,) int64, host
-    rows_dev: jnp.ndarray  # (nnz,) int32
-    scores_dev: jnp.ndarray  # (nnz,) float32
+    rows_dev: jnp.ndarray  # (nnz_pad,) int32
+    scores_dev: jnp.ndarray  # (nnz_pad,) float32
+    tids_dev: jnp.ndarray  # (nnz_pad,) int32 tag id per entry
     rows_np: np.ndarray  # (nnz,) int32, host
     scores_np: np.ndarray  # (nnz,) float64, host
-    # per-category panels (device)
-    cat_max_dev: jnp.ndarray  # (N, 6) float32, 0 where absent
-    cat_present_dev: jnp.ndarray  # (N, 6) bool
+    # per-category panels (device, padded to n_pad rows)
+    cat_max_dev: jnp.ndarray  # (n_pad, 6) float32, 0 where absent
+    cat_present_dev: jnp.ndarray  # (n_pad, 6) bool
+    n_pad: int = 0
+    t_pad: int = 0
     built_at: float = field(default_factory=time.time)
 
     @property
@@ -93,6 +100,42 @@ class TagIndexEpoch:
     @property
     def nnz(self) -> int:
         return int(self.offsets[-1]) if len(self.offsets) else 0
+
+
+def _pad_bucket(x: int) -> int:
+    """Smallest power of two strictly greater than ``x`` (min 256)."""
+    return 1 << max(8, int(np.ceil(np.log2(max(int(x), 1) + 1))))
+
+
+def _device_postings(
+    r_idx: np.ndarray, sc: np.ndarray, t_idx: np.ndarray, n: int, t_count: int
+) -> tuple[int, int, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pad postings to bucketed shapes and place on device.
+
+    Padding entries point at the dummy row (n_pad-1 >= n) and dummy tag
+    (t_pad-1 >= T) so they can never contribute to a real file's mask.
+    """
+    nnz = len(r_idx)
+    n_pad = _pad_bucket(n)
+    t_pad = _pad_bucket(t_count)
+    nnz_pad = _pad_bucket(nnz)
+    rows = np.full(nnz_pad, n_pad - 1, dtype=np.int32)
+    rows[:nnz] = r_idx
+    tids = np.full(nnz_pad, t_pad - 1, dtype=np.int32)
+    tids[:nnz] = t_idx
+    scores = np.zeros(nnz_pad, dtype=np.float32)
+    scores[:nnz] = sc
+    return n_pad, t_pad, jnp.asarray(tids), jnp.asarray(rows), jnp.asarray(scores)
+
+
+def _pad_panels(
+    cat_max_dev: jnp.ndarray, cat_present_dev: jnp.ndarray, n_pad: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    n = cat_max_dev.shape[0]
+    if n == n_pad:
+        return cat_max_dev, cat_present_dev
+    pad = ((0, n_pad - n), (0, 0))
+    return jnp.pad(cat_max_dev, pad), jnp.pad(cat_present_dev, pad)
 
 
 def _assemble_epoch(
@@ -126,6 +169,11 @@ def _assemble_epoch(
         cat_max_dev = jnp.asarray(cat_max)
         cat_present_dev = jnp.asarray(cat_present)
 
+    n_pad, t_pad, tids_dev, rows_dev, scores_dev = _device_postings(
+        r_idx.astype(np.int32), sc.astype(np.float32), t_idx, n, len(tag_names)
+    )
+    cat_max_dev, cat_present_dev = _pad_panels(cat_max_dev, cat_present_dev, n_pad)
+
     return TagIndexEpoch(
         version=version,
         file_ids=file_ids,
@@ -136,12 +184,15 @@ def _assemble_epoch(
         tag_cats=tag_cats,
         name_to_tid={name: i for i, name in enumerate(tag_names)},
         offsets=offsets,
-        rows_dev=jnp.asarray(r_idx.astype(np.int32)),
-        scores_dev=jnp.asarray(sc.astype(np.float32)),
+        rows_dev=rows_dev,
+        scores_dev=scores_dev,
+        tids_dev=tids_dev,
         rows_np=r_idx.astype(np.int32),
         scores_np=sc.astype(np.float64),
         cat_max_dev=cat_max_dev,
         cat_present_dev=cat_present_dev,
+        n_pad=n_pad,
+        t_pad=t_pad,
     )
 
 
@@ -443,61 +494,142 @@ import weakref
 _COMPILED_CACHE: "weakref.WeakKeyDictionary[TagIndexEpoch, dict]" = weakref.WeakKeyDictionary()
 _PER_EPOCH_CACHE_CAP = 512
 
+# structure -> jitted evaluator.  A "structure" is the query AST with tag
+# names abstracted into slot indices and score thresholds into operand slots,
+# so ONE compiled program serves every query of that shape on every epoch
+# whose padded shapes match (epochs pad to buckets precisely for this).
+_STRUCTURE_CACHE: dict[tuple, object] = {}
 
-def _compiled_eval(
+
+def _lower_structure(
+    expr: Expr | None, slots: dict[str, int], score_vals: list[float]
+) -> tuple:
+    """AST -> hashable structure; collects tag slots and score thresholds."""
+    if expr is None:
+        return ("all",)
+    if isinstance(expr, TagExpr):
+        k = slots.setdefault(expr.name, len(slots))
+        return ("tag", k)
+    if isinstance(expr, CategoryExpr):
+        return ("cat", int(expr.category))
+    if isinstance(expr, ScoreExpr):
+        score_vals.append(float(expr.threshold))
+        return ("score", expr.op, len(score_vals) - 1)
+    if isinstance(expr, NotExpr):
+        return ("not", _lower_structure(expr.operand, slots, score_vals))
+    if isinstance(expr, AndExpr):
+        return (
+            "and",
+            _lower_structure(expr.left, slots, score_vals),
+            _lower_structure(expr.right, slots, score_vals),
+        )
+    if isinstance(expr, OrExpr):
+        return (
+            "or",
+            _lower_structure(expr.left, slots, score_vals),
+            _lower_structure(expr.right, slots, score_vals),
+        )
+    raise TypeError(f"unhandled expression {expr!r}")
+
+
+def _structure_fn(structure: tuple, n_slots: int):
+    """Jitted mask evaluator for one query structure (shape-generic)."""
+    key = (structure, n_slots)
+    fn = _STRUCTURE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def build(
+        tids, rows, scores, cat_max, cat_present,
+        gate_by_tag, term_of_tag, score_thr, cat_gate,
+    ):
+        npad = cat_max.shape[0]
+        if n_slots:
+            # every term's mask in ONE flat scatter over the postings
+            entry_term = term_of_tag[tids]
+            hit = scores >= gate_by_tag[tids]
+            slot = jnp.where(hit & (entry_term >= 0), entry_term, n_slots)
+            flat = jnp.zeros((n_slots + 1) * npad, dtype=bool)
+            flat = flat.at[slot * npad + rows].max(True)
+            term_masks = flat.reshape(n_slots + 1, npad)
+        else:
+            term_masks = None
+
+        def ev(node: tuple) -> jnp.ndarray:
+            kind = node[0]
+            if kind == "all":
+                return jnp.ones(npad, dtype=bool)
+            if kind == "tag":
+                return term_masks[node[1]]
+            if kind == "cat":
+                c = node[1]
+                return cat_present[:, c] & (cat_max[:, c] >= cat_gate[c])
+            if kind == "score":
+                op, s_idx = node[1], node[2]
+                t = score_thr[s_idx]
+                pred = {
+                    ">=": scores >= t, "<=": scores <= t, "=": scores == t,
+                    ">": scores > t, "<": scores < t,
+                }[op]
+                return jnp.zeros(npad, dtype=bool).at[rows].max(pred)
+            if kind == "not":
+                return ~ev(node[1])
+            if kind == "and":
+                return ev(node[1]) & ev(node[2])
+            if kind == "or":
+                return ev(node[1]) | ev(node[2])
+            raise TypeError(f"unhandled structure node {node!r}")
+
+        return ev(structure)
+
+    fn = jax.jit(build)
+    _STRUCTURE_CACHE[key] = fn
+    return fn
+
+
+def _query_tables(
     epoch: TagIndexEpoch,
     query: str,
     expr: Expr | None,
     thr: dict[int, float],
-    positive: Sequence[str],
 ):
-    """One jitted program per (epoch, query): the whole mask + relevance
-    evaluation runs in a single device dispatch (term offsets and thresholds
-    are static and baked into the trace)."""
+    """Per-(epoch, query) device operand tables (uploaded once, reused).
+
+    Returns (structure, n_slots, gate_dev, term_dev, score_dev, catgate_dev).
+    """
     per_epoch = _COMPILED_CACHE.setdefault(epoch, {})
-    key = (query, tuple(sorted(thr.items())), tuple(positive))
-    fn = per_epoch.get(key)
-    if fn is not None:
-        return fn
+    key = (query, tuple(sorted(thr.items())))
+    entry = per_epoch.get(key)
+    if entry is not None:
+        return entry
 
-    def build(rows_dev, scores_dev, cat_max_dev, cat_present_dev):
-        n = epoch.num_files
-
-        def ev(node: Expr) -> jnp.ndarray:
-            if isinstance(node, TagExpr):
-                tid = epoch.name_to_tid.get(node.name)
-                if tid is None:
-                    return jnp.zeros(n, dtype=bool)
-                lo, hi = int(epoch.offsets[tid]), int(epoch.offsets[tid + 1])
-                hits = scores_dev[lo:hi] >= _case_gate(thr, int(epoch.tag_cats[tid]))
-                return jnp.zeros(n, dtype=bool).at[rows_dev[lo:hi]].max(hits)
-            if isinstance(node, CategoryExpr):
-                cat = int(node.category)
-                return cat_present_dev[:, cat] & (
-                    cat_max_dev[:, cat] >= thr.get(cat, 0.0)
-                )
-            if isinstance(node, ScoreExpr):
-                s = scores_dev
-                t = jnp.float32(node.threshold)
-                pred = {
-                    ">=": s >= t, "<=": s <= t, "=": s == t, ">": s > t, "<": s < t,
-                }[node.op]
-                return jnp.zeros(n, dtype=bool).at[rows_dev].max(pred)
-            if isinstance(node, NotExpr):
-                return ~ev(node.operand)
-            if isinstance(node, AndExpr):
-                return ev(node.left) & ev(node.right)
-            if isinstance(node, OrExpr):
-                return ev(node.left) | ev(node.right)
-            raise TypeError(f"unhandled expression {node!r}")
-
-        return jnp.ones(n, dtype=bool) if expr is None else ev(expr)
-
-    fn = jax.jit(build)
+    slots: dict[str, int] = {}
+    score_vals: list[float] = []
+    structure = _lower_structure(expr, slots, score_vals)
+    gate = np.full(epoch.t_pad, np.inf, dtype=np.float32)
+    term = np.full(epoch.t_pad, -1, dtype=np.int32)
+    for name, k in slots.items():
+        tid = epoch.name_to_tid.get(name)
+        if tid is None:
+            continue  # unknown tag: its slot mask stays all-False
+        gate[tid] = _case_gate(thr, int(epoch.tag_cats[tid]))
+        term[tid] = k
+    score_thr = np.asarray(score_vals or [0.0], dtype=np.float32)
+    cat_gate = np.asarray(
+        [thr.get(c, 0.0) for c in range(_NUM_CATEGORIES)], dtype=np.float32
+    )
+    entry = (
+        structure,
+        len(slots),
+        jnp.asarray(gate),
+        jnp.asarray(term),
+        jnp.asarray(score_thr),
+        jnp.asarray(cat_gate),
+    )
     if len(per_epoch) >= _PER_EPOCH_CACHE_CAP:
         per_epoch.clear()
-    per_epoch[key] = fn
-    return fn
+    per_epoch[key] = entry
+    return entry
 
 
 def search_epoch(
@@ -517,22 +649,42 @@ def search_epoch(
     positive = (
         extract_positive_tag_terms(query) if order_by == "relevance" else []
     )
-    # mask evaluation in one cached jitted dispatch
-    fn = _compiled_eval(epoch, query, expr, thr, positive)
-    mask = np.asarray(
-        fn(epoch.rows_dev, epoch.scores_dev, epoch.cat_max_dev, epoch.cat_present_dev)
+    # mask evaluation: one shape-generic program per query STRUCTURE, shared
+    # across epochs (operand tables cached per (epoch, query))
+    structure, n_slots, gate_dev, term_dev, score_dev, catgate_dev = _query_tables(
+        epoch, query, expr, thr
     )
-    # relevance in host f64 — ordering must match SQLite's f64 SUM exactly
+    fn = _structure_fn(structure, n_slots)
+    mask = np.asarray(
+        fn(
+            epoch.tids_dev, epoch.rows_dev, epoch.scores_dev,
+            epoch.cat_max_dev, epoch.cat_present_dev,
+            gate_dev, term_dev, score_dev, catgate_dev,
+        )
+    )[: epoch.num_files]
+    # relevance in host f64 — ordering must match SQLite's f64 SUM exactly.
+    # One C-level bincount over the positives' postings (np.add.at per term
+    # was the p50 floor at 300k files).
     rel = np.zeros(epoch.num_files, dtype=np.float64)
-    for name in positive:
-        tid = epoch.name_to_tid.get(name)
-        if tid is None:
-            continue
-        lo, hi = int(epoch.offsets[tid]), int(epoch.offsets[tid + 1])
-        gate = _case_gate(thr, int(epoch.tag_cats[tid]))
-        sc = epoch.scores_np[lo:hi]
-        hit = sc >= gate
-        np.add.at(rel, epoch.rows_np[lo:hi][hit], sc[hit])
+    if positive:
+        row_parts: list[np.ndarray] = []
+        sc_parts: list[np.ndarray] = []
+        for name in positive:
+            tid = epoch.name_to_tid.get(name)
+            if tid is None:
+                continue
+            lo, hi = int(epoch.offsets[tid]), int(epoch.offsets[tid + 1])
+            gate = _case_gate(thr, int(epoch.tag_cats[tid]))
+            sc = epoch.scores_np[lo:hi]
+            hit = sc >= gate
+            row_parts.append(epoch.rows_np[lo:hi][hit])
+            sc_parts.append(sc[hit])
+        if row_parts:
+            rel = np.bincount(
+                np.concatenate(row_parts),
+                weights=np.concatenate(sc_parts),
+                minlength=epoch.num_files,
+            )
 
     idx = np.nonzero(mask)[0]
     if idx.size == 0:

@@ -49,8 +49,8 @@ def save_epoch(epoch: TagIndexEpoch, path: str | Path) -> Path:
         offsets=epoch.offsets,
         rows=epoch.rows_np,
         scores64=epoch.scores_np,  # f64 host copy (exact relevance ordering)
-        cat_max=np.asarray(epoch.cat_max_dev),
-        cat_present=np.asarray(epoch.cat_present_dev),
+        cat_max=np.asarray(epoch.cat_max_dev)[: epoch.num_files],
+        cat_present=np.asarray(epoch.cat_present_dev)[: epoch.num_files],
     )
     # atomic pair swap: sidecar first, then the npz (the loader treats a
     # mismatched pair as unusable via the consistency checks below)
@@ -99,6 +99,19 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         arrays["file_ids"], arrays["offsets"], arrays["rows"], scores64
     ):
         raise ValueError("epoch snapshot content digest mismatch")
+    from kobato_eyes_tpu.query.engine import _device_postings, _pad_panels
+
+    offsets = arrays["offsets"]
+    rows = arrays["rows"]
+    n = len(arrays["file_ids"])
+    t_count = len(tag_names)
+    t_idx = np.repeat(np.arange(t_count, dtype=np.int64), np.diff(offsets))
+    n_pad, t_pad, tids_dev, rows_dev, scores_dev = _device_postings(
+        rows.astype(np.int32), scores64.astype(np.float32), t_idx, n, t_count
+    )
+    cat_max_dev, cat_present_dev = _pad_panels(
+        jnp.asarray(arrays["cat_max"][:n]), jnp.asarray(arrays["cat_present"][:n]), n_pad
+    )
     return TagIndexEpoch(
         version=int(meta["version"]),
         file_ids=arrays["file_ids"],
@@ -112,12 +125,15 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         tag_names=tag_names,
         tag_cats=arrays["tag_cats"],
         name_to_tid={n: i for i, n in enumerate(tag_names)},
-        offsets=arrays["offsets"],
-        rows_dev=jnp.asarray(arrays["rows"]),
-        scores_dev=jnp.asarray(scores64.astype(np.float32)),
-        rows_np=arrays["rows"],
+        offsets=offsets,
+        rows_dev=rows_dev,
+        scores_dev=scores_dev,
+        tids_dev=tids_dev,
+        rows_np=rows,
         scores_np=scores64,
-        cat_max_dev=jnp.asarray(arrays["cat_max"]),
-        cat_present_dev=jnp.asarray(arrays["cat_present"]),
+        cat_max_dev=cat_max_dev,
+        cat_present_dev=cat_present_dev,
+        n_pad=n_pad,
+        t_pad=t_pad,
         built_at=float(meta["built_at"]),
     )

@@ -132,3 +132,38 @@ def test_delta_bulk_retag_chunks_sql_variables(tmp_path):
         _assert_equivalent(delta, full)
     finally:
         c.close()
+
+
+def test_structure_programs_reused_across_epochs(conn):
+    """Shape-generic evaluation: a delta epoch within the same padded buckets
+    must reuse the compiled query programs (no per-epoch recompilation), and
+    queries sharing a structure share one program."""
+    from kobato_eyes_tpu.query import engine as E
+
+    prev = build_epoch(conn, version=1)
+    search_epoch(prev, "alpha OR beta")
+    fn = E._structure_fn(
+        E._lower_structure(
+            __import__("kobato_eyes_tpu.query.ast", fromlist=["parse_query"]).parse_query("alpha OR beta"),
+            {}, [],
+        ),
+        2,
+    )
+    traces_before = fn._cache_size()
+    assert traces_before >= 1
+
+    # same-structure query with different tag names: same program, no retrace
+    search_epoch(prev, "gamma OR alpha")
+    assert fn._cache_size() == traces_before
+
+    # delta epoch (same padded buckets at this scale): still no retrace
+    changed = [int(r[0]) for r in conn.execute("SELECT id FROM files LIMIT 2")]
+    write_tagging_batch(conn, [
+        TaggingItem(changed[0], [("beta", 0.9, 4)], tagger_sig="s2"),
+        TaggingItem(changed[1], [("alpha", 0.7, 0)], tagger_sig="s2"),
+    ])
+    delta = update_epoch(conn, prev, changed_file_ids=changed, version=2)
+    assert (delta.n_pad, delta.t_pad) == (prev.n_pad, prev.t_pad)
+    assert len(delta.rows_dev) == len(prev.rows_dev)
+    search_epoch(delta, "alpha OR beta")
+    assert fn._cache_size() == traces_before

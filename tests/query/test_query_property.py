@@ -14,9 +14,13 @@ from hypothesis import given, settings, strategies as st
 
 from kobato_eyes_tpu.query.ast import extract_positive_tag_terms, parse_query, tokenize
 
+# Bare operator words are OPERATORS to the (case-insensitive) tokenizer —
+# the reference treats "or"/"and"/"not" like OR/AND/NOT (core/query.py:183) —
+# so the tag generator must not emit them as tag names.
+_RESERVED = {"or", "and", "not"}
 TAG_CHARS = st.text(
     alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789_"), min_size=1, max_size=12
-)
+).filter(lambda s: s.lower() not in _RESERVED)
 
 
 @st.composite

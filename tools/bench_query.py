@@ -129,8 +129,21 @@ def main(argv: list[str] | None = None) -> int:
                     mismatch += 1
         assert mismatch == 0, f"{mismatch} backend mismatches"
 
+        # post-epoch-swap cost: rebuild the epoch (fresh object, empty table
+        # cache) and time the FIRST run of each query — with shape-generic
+        # programs this is table upload only, not recompilation
+        t0 = time.perf_counter()
+        epoch2 = build_epoch(conn, version=2)
+        swap_build_s = time.perf_counter() - t0
+        first_ms: list[float] = []
+        for q in QUERY_WORKLOAD:
+            t0 = time.perf_counter()
+            search_epoch(epoch2, q, limit=200)
+            first_ms.append((time.perf_counter() - t0) * 1000)
+
         d = np.asarray(device_ms)
         s = np.asarray(sql_ms)
+        f = np.asarray(first_ms)
         print(json.dumps({
             "metric": "query_p50_ms_70k",
             "value": round(float(np.percentile(d, 50)), 3),
@@ -142,6 +155,11 @@ def main(argv: list[str] | None = None) -> int:
                           "p95": round(float(np.percentile(d, 95)), 3)},
             "sql_ms": {"p50": round(float(np.percentile(s, 50)), 3),
                        "p95": round(float(np.percentile(s, 95)), 3)},
+            "post_swap_first_query_ms": {
+                "p50": round(float(np.percentile(f, 50)), 3),
+                "max": round(float(f.max()), 3),
+                "epoch_rebuild_s": round(swap_build_s, 2),
+            },
         }))
     finally:
         conn.close()
