@@ -106,6 +106,79 @@ def load_labels(csv_path: str | Path) -> list[TagMeta]:
     return labels
 
 
+def verify_label_order(
+    labels: list[TagMeta], tag_map_path: str | Path
+) -> tuple[list[TagMeta], int]:
+    """Verify (and repair) the label table against a PixAI tag_map JSON.
+
+    Reference ``src/tagger/pixai_onnx.py:109-167``: the JSON's ``tag_map``
+    (name -> model output index) is the authority on label ORDER — a shuffled
+    or stale CSV silently mislabels every prediction, which is exactly the
+    failure this check exists for.  Returns ``(labels, mismatches)``:
+
+    * the expected name for index i comes from tag_map; empty names and
+      missing indices become ``__broken_<i>`` placeholders;
+    * zero mismatches -> the input list is returned unchanged;
+    * otherwise names are replaced by the JSON's order and categories/ips are
+      rebuilt by looking the new name up in the CSV-derived metadata
+      (unknown names fall back to GENERAL, like the reference repair).
+    """
+    path = Path(tag_map_path)
+    data = json.loads(path.read_text(encoding="utf-8"))
+    tag_map = data.get("tag_map") or {}
+    if not tag_map:
+        logger.warning("tag_map missing in %s; skipping label-order check", path)
+        return labels, 0
+
+    n = len(labels)
+    expected: list[str | None] = [None] * n
+    for name, idx in tag_map.items():
+        i = int(idx)
+        if 0 <= i < n:
+            expected[i] = str(name) if name else f"{BROKEN_PLACEHOLDER_PREFIX}{i}"
+    for i in range(n):
+        if expected[i] is None:
+            expected[i] = f"{BROKEN_PLACEHOLDER_PREFIX}{i}"
+
+    mismatches = sum(1 for i in range(n) if expected[i] != labels[i].name)
+    if mismatches == 0:
+        logger.info("label order matches %s", path)
+        return labels, 0
+
+    logger.warning(
+        "label order mismatch vs %s: %d / %d rows differ; repairing from tag_map",
+        path, mismatches, n,
+    )
+    by_name = {m.name: m for m in labels}
+    repaired: list[TagMeta] = []
+    for i, name in enumerate(expected):
+        meta = by_name.get(name)
+        if meta is not None:
+            repaired.append(TagMeta(name=name, category=meta.category,
+                                    count=meta.count, ips=meta.ips))
+        else:
+            repaired.append(TagMeta(name=name, category=TagCategory.GENERAL))
+    return repaired, mismatches
+
+
+def discover_tag_map_json(model_path: str | Path) -> Path | None:
+    """Find the PixAI tag_map JSON next to the model (reference candidates)."""
+    import os
+
+    model = Path(model_path)
+    candidates = [
+        model.parent / "tags_v0.9_13k.json",
+        model.parent / "pixai_tags.json",
+    ]
+    env = os.environ.get("KET_PIXAI_TAGS_JSON", "")
+    if env:
+        candidates.append(Path(env))
+    for cand in candidates:
+        if cand.is_file():
+            return cand
+    return None
+
+
 def discover_labels_csv(model_path: str | Path) -> Path | None:
     """Find a label CSV next to the model file (reference labels_util.py:269)."""
     model = Path(model_path)

@@ -73,6 +73,7 @@ class JaxTagger:
         topk_cap: int = DEFAULT_TOPK_CAP,
         thresholds: ThresholdMap | None = None,
         max_tags: MaxTagsMap | None = None,
+        tag_map_path: str | Path | None = None,
         seed: int = 0,
         mesh: Any = None,
     ) -> None:
@@ -80,7 +81,23 @@ class JaxTagger:
             labels = load_labels(labels_path)
         if labels is None:
             labels = synthetic_labels(1024)
-        self.labels: list[TagMeta] = list(labels)
+        labels = list(labels)
+        if self.mode == "pixai":
+            # Label-ORDER verification/repair against the tag_map JSON — the
+            # authority on output-index order (reference pixai_onnx.py:109-167)
+            from kobato_eyes_tpu.models.labels import (
+                discover_tag_map_json,
+                verify_label_order,
+            )
+
+            tm = tag_map_path
+            if tm is None and labels_path is not None:
+                tm = discover_tag_map_json(labels_path)
+            if tm is not None:
+                labels, n_fixed = verify_label_order(labels, tm)
+                if n_fixed:
+                    logger.warning("pixai label table repaired: %d rows", n_fixed)
+        self.labels: list[TagMeta] = labels
         self.names: list[str] = [m.name for m in self.labels]
         self.cats: np.ndarray = np.array([int(m.category) for m in self.labels], dtype=np.int32)
         self._tag_meta = {m.name: m for m in self.labels}

@@ -49,3 +49,56 @@ def test_discovery_and_popularity(tmp_path):
     labels = load_labels(found)
     pop = labels_by_popularity(labels)
     assert [m.name for m in pop] == ["a", "b"]
+
+
+def test_verify_label_order_match_and_repair(tmp_path):
+    """tag_map JSON is the authority on label order (reference
+    pixai_onnx.py:109-167): matching order passes through, a shuffled table
+    is repaired with categories rebuilt by name and placeholders for gaps."""
+    import json
+
+    from kobato_eyes_tpu.models.base import TagCategory
+    from kobato_eyes_tpu.models.labels import (
+        BROKEN_PLACEHOLDER_PREFIX,
+        TagMeta,
+        verify_label_order,
+    )
+
+    labels = [
+        TagMeta("alpha", TagCategory.GENERAL, count=5),
+        TagMeta("beta", TagCategory.CHARACTER, count=3, ips=("copy",)),
+        TagMeta("gamma", TagCategory.COPYRIGHT, count=1),
+    ]
+    jp = tmp_path / "tags_v0.9_13k.json"
+    jp.write_text(json.dumps({"tag_map": {"alpha": 0, "beta": 1, "gamma": 2}}))
+    same, fixed = verify_label_order(labels, jp)
+    assert fixed == 0 and same is labels
+
+    # shuffled: JSON says beta is index 0; index 2 missing -> placeholder
+    jp.write_text(json.dumps({"tag_map": {"beta": 0, "alpha": 1}}))
+    repaired, fixed = verify_label_order(labels, jp)
+    assert fixed == 3
+    assert [m.name for m in repaired] == ["beta", "alpha", f"{BROKEN_PLACEHOLDER_PREFIX}2"]
+    assert repaired[0].category == TagCategory.CHARACTER and repaired[0].ips == ("copy",)
+    assert repaired[1].category == TagCategory.GENERAL
+    assert repaired[2].category == TagCategory.GENERAL  # unknown -> GENERAL fallback
+
+
+def test_pixai_tagger_repairs_label_order(tmp_path):
+    """PixaiTagger discovers the tag_map JSON next to the labels CSV and
+    serves predictions under the JSON's order."""
+    import json
+
+    from kobato_eyes_tpu.models.labels import load_labels
+    from kobato_eyes_tpu.models.tagger import PixaiTagger
+
+    csv = tmp_path / "selected_tags.csv"
+    csv.write_text("name,category\nwrong_first,0\nwrong_second,4\n")
+    (tmp_path / "tags_v0.9_13k.json").write_text(
+        json.dumps({"tag_map": {"wrong_second": 0, "wrong_first": 1}})
+    )
+    tagger = PixaiTagger(labels_path=csv, image_size=16, preset="tiny",
+                         vit=None, arch="vit")
+    assert [m.name for m in tagger.labels] == ["wrong_second", "wrong_first"]
+    # categories moved with the names
+    assert int(tagger.labels[0].category) == 4
