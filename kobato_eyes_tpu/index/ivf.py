@@ -98,17 +98,39 @@ class IvfFlatIndex:
         centroids, assign = kmeans(vecs, n_clusters, iters=train_iters, seed=seed)
         counts = np.bincount(assign, minlength=n_clusters)
         pad = int(counts.max()) if max_list_pad is None else min(int(counts.max()), max_list_pad)
-        members = np.full((n_clusters, pad), -1, dtype=np.int32)
-        cursor = np.zeros(n_clusters, dtype=np.int64)
-        for row, c in enumerate(assign):
-            if cursor[c] < pad:
-                members[c, cursor[c]] = row
-                cursor[c] += 1
-        dropped = n - int(cursor.sum())
-        if dropped:
-            logger.warning("ivf: %d vectors dropped by max_list_pad=%d", dropped, pad)
+        pad = max(pad, 1)
+        # Skewed k-means must not lose vectors: lists larger than the pad are
+        # SPLIT into replica lists sharing the centroid (bounded memory, no
+        # silent recall loss — an under-probed giant cluster degrades with
+        # nprobe like any IVF, instead of unboundedly via dropped members).
+        n_lists_per = np.maximum(1, np.ceil(counts / pad).astype(np.int64))
+        n_lists = int(n_lists_per.sum())
+        members = np.full((n_lists, pad), -1, dtype=np.int32)
+        list_cluster = np.empty(n_lists, dtype=np.int64)
+        order = np.argsort(assign, kind="stable")
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        li = 0
+        for c in range(n_clusters):
+            rows = order[starts[c] : starts[c + 1]]
+            if len(rows) == 0:
+                list_cluster[li] = c
+                li += 1
+                continue
+            for off in range(0, len(rows), pad):
+                chunk = rows[off : off + pad]
+                members[li, : len(chunk)] = chunk
+                list_cluster[li] = c
+                li += 1
+        assert li == n_lists
+        n_split = n_lists - n_clusters
+        if n_split:
+            logger.info(
+                "ivf: %d oversized lists split into replicas (pad=%d, lists=%d)",
+                n_split, pad, n_lists,
+            )
 
-        self._centroids = jnp.asarray(centroids)
+        self.n_lists = n_lists
+        self._centroids = jnp.asarray(centroids[list_cluster])
         self._members = jnp.asarray(members)
         self._corpus = jnp.asarray(vecs)
         self.dim = vecs.shape[1]
@@ -121,7 +143,7 @@ class IvfFlatIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         q = np.asarray(queries, dtype=np.float32)
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        nprobe = min(nprobe, self.n_clusters)
+        nprobe = min(nprobe, self.n_lists)
         k = min(k, len(self))
         scores, rows = _ivf_search_kernel(
             jnp.asarray(q), self._centroids, self._members, self._corpus,
