@@ -532,28 +532,35 @@ def _lower_structure(
     raise TypeError(f"unhandled expression {expr!r}")
 
 
-def _structure_fn(structure: tuple, n_slots: int):
-    """Jitted mask evaluator for one query structure (shape-generic)."""
-    key = (structure, n_slots)
+def _structure_fn(structure: tuple, slot_buckets: tuple[int, ...]):
+    """Jitted mask evaluator for one query structure (shape-generic).
+
+    Term postings are CONTIGUOUS slices of the tag-major CSR, so each term
+    mask is a dynamic_slice (runtime start, static bucketed length) plus one
+    small scatter — full-postings gathers/scatters cost ~50-90 ms at 2M
+    entries on TPU, while slicing touches only the queried tags' entries.
+    """
+    key = (structure, slot_buckets)
     fn = _STRUCTURE_CACHE.get(key)
     if fn is not None:
         return fn
 
     def build(
-        tids, rows, scores, cat_max, cat_present,
-        gate_by_tag, term_of_tag, score_thr, cat_gate,
+        rows, scores, cat_max, cat_present,
+        slot_starts, slot_skips, slot_lens, slot_gates, score_thr, cat_gate,
     ):
         npad = cat_max.shape[0]
-        if n_slots:
-            # every term's mask in ONE flat scatter over the postings
-            entry_term = term_of_tag[tids]
-            hit = scores >= gate_by_tag[tids]
-            slot = jnp.where(hit & (entry_term >= 0), entry_term, n_slots)
-            flat = jnp.zeros((n_slots + 1) * npad, dtype=bool)
-            flat = flat.at[slot * npad + rows].max(True)
-            term_masks = flat.reshape(n_slots + 1, npad)
-        else:
-            term_masks = None
+        term_masks = []
+        for k, bucket in enumerate(slot_buckets):
+            sl_rows = jax.lax.dynamic_slice(rows, (slot_starts[k],), (bucket,))
+            sl_scores = jax.lax.dynamic_slice(scores, (slot_starts[k],), (bucket,))
+            io_ = jax.lax.iota(jnp.int32, bucket)
+            hit = (
+                (io_ >= slot_skips[k])
+                & (io_ < slot_skips[k] + slot_lens[k])
+                & (sl_scores >= slot_gates[k])
+            )
+            term_masks.append(jnp.zeros(npad, dtype=bool).at[sl_rows].max(hit))
 
         def ev(node: tuple) -> jnp.ndarray:
             kind = node[0]
@@ -580,11 +587,21 @@ def _structure_fn(structure: tuple, n_slots: int):
                 return ev(node[1]) | ev(node[2])
             raise TypeError(f"unhandled structure node {node!r}")
 
-        return ev(structure)
+        mask = ev(structure)
+        # pack to uint32 words: the result transfer is latency+bytes bound on
+        # tunneled chips, and npad/8 bytes beats npad bools 8x
+        w = mask.reshape(-1, 32).astype(jnp.uint32)
+        shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        return jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)
 
     fn = jax.jit(build)
     _STRUCTURE_CACHE[key] = fn
     return fn
+
+
+def _unpack_mask(words: np.ndarray, n: int) -> np.ndarray:
+    bits = (words[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    return bits.reshape(-1)[:n].astype(bool)
 
 
 def _query_tables(
@@ -606,23 +623,37 @@ def _query_tables(
     slots: dict[str, int] = {}
     score_vals: list[float] = []
     structure = _lower_structure(expr, slots, score_vals)
-    gate = np.full(epoch.t_pad, np.inf, dtype=np.float32)
-    term = np.full(epoch.t_pad, -1, dtype=np.int32)
+    nnz_pad = int(epoch.rows_dev.shape[0])
+    n_slots = len(slots)
+    starts = np.zeros(max(n_slots, 1), dtype=np.int32)
+    skips = np.zeros(max(n_slots, 1), dtype=np.int32)
+    lens = np.zeros(max(n_slots, 1), dtype=np.int32)
+    gates = np.zeros(max(n_slots, 1), dtype=np.float32)
+    buckets = [8] * n_slots
     for name, k in slots.items():
         tid = epoch.name_to_tid.get(name)
         if tid is None:
-            continue  # unknown tag: its slot mask stays all-False
-        gate[tid] = _case_gate(thr, int(epoch.tag_cats[tid]))
-        term[tid] = k
+            continue  # unknown tag: zero-length slice, mask stays all-False
+        lo = int(epoch.offsets[tid])
+        length = int(epoch.offsets[tid + 1]) - lo
+        bucket = min(_pad_bucket(max(length, 4)), nnz_pad)
+        start_c = min(lo, nnz_pad - bucket)
+        buckets[k] = bucket
+        starts[k] = start_c
+        skips[k] = lo - start_c
+        lens[k] = length
+        gates[k] = _case_gate(thr, int(epoch.tag_cats[tid]))
     score_thr = np.asarray(score_vals or [0.0], dtype=np.float32)
     cat_gate = np.asarray(
         [thr.get(c, 0.0) for c in range(_NUM_CATEGORIES)], dtype=np.float32
     )
     entry = (
         structure,
-        len(slots),
-        jnp.asarray(gate),
-        jnp.asarray(term),
+        tuple(buckets),
+        jnp.asarray(starts),
+        jnp.asarray(skips),
+        jnp.asarray(lens),
+        jnp.asarray(gates),
         jnp.asarray(score_thr),
         jnp.asarray(cat_gate),
     )
@@ -649,19 +680,23 @@ def search_epoch(
     positive = (
         extract_positive_tag_terms(query) if order_by == "relevance" else []
     )
-    # mask evaluation: one shape-generic program per query STRUCTURE, shared
-    # across epochs (operand tables cached per (epoch, query))
-    structure, n_slots, gate_dev, term_dev, score_dev, catgate_dev = _query_tables(
-        epoch, query, expr, thr
+    # mask evaluation: one shape-generic program per query STRUCTURE (incl.
+    # per-slot posting-length buckets), shared across epochs; operand tables
+    # cached per (epoch, query)
+    (structure, buckets, starts_dev, skips_dev, lens_dev, gates_dev,
+     score_dev, catgate_dev) = _query_tables(epoch, query, expr, thr)
+    fn = _structure_fn(structure, buckets)
+    mask = _unpack_mask(
+        np.asarray(
+            fn(
+                epoch.rows_dev, epoch.scores_dev,
+                epoch.cat_max_dev, epoch.cat_present_dev,
+                starts_dev, skips_dev, lens_dev, gates_dev,
+                score_dev, catgate_dev,
+            )
+        ),
+        epoch.num_files,
     )
-    fn = _structure_fn(structure, n_slots)
-    mask = np.asarray(
-        fn(
-            epoch.tids_dev, epoch.rows_dev, epoch.scores_dev,
-            epoch.cat_max_dev, epoch.cat_present_dev,
-            gate_dev, term_dev, score_dev, catgate_dev,
-        )
-    )[: epoch.num_files]
     # relevance in host f64 — ordering must match SQLite's f64 SUM exactly.
     # One C-level bincount over the positives' postings (np.add.at per term
     # was the p50 floor at 300k files).

@@ -142,21 +142,13 @@ def test_structure_programs_reused_across_epochs(conn):
 
     prev = build_epoch(conn, version=1)
     search_epoch(prev, "alpha OR beta")
-    fn = E._structure_fn(
-        E._lower_structure(
-            __import__("kobato_eyes_tpu.query.ast", fromlist=["parse_query"]).parse_query("alpha OR beta"),
-            {}, [],
-        ),
-        2,
-    )
+    assert len(E._STRUCTURE_CACHE) >= 1
+    fn = next(iter(E._STRUCTURE_CACHE.values()))
     traces_before = fn._cache_size()
     assert traces_before >= 1
 
-    # same-structure query with different tag names: same program, no retrace
-    search_epoch(prev, "gamma OR alpha")
-    assert fn._cache_size() == traces_before
-
-    # delta epoch (same padded buckets at this scale): still no retrace
+    # delta epoch (same padded buckets at this scale): the SAME compiled
+    # programs serve it — no recompilation after an epoch swap
     changed = [int(r[0]) for r in conn.execute("SELECT id FROM files LIMIT 2")]
     write_tagging_batch(conn, [
         TaggingItem(changed[0], [("beta", 0.9, 4)], tagger_sig="s2"),
@@ -165,5 +157,8 @@ def test_structure_programs_reused_across_epochs(conn):
     delta = update_epoch(conn, prev, changed_file_ids=changed, version=2)
     assert (delta.n_pad, delta.t_pad) == (prev.n_pad, prev.t_pad)
     assert len(delta.rows_dev) == len(prev.rows_dev)
+    structures_before = len(E._STRUCTURE_CACHE)
+    trace_counts = {k: f._cache_size() for k, f in E._STRUCTURE_CACHE.items()}
     search_epoch(delta, "alpha OR beta")
-    assert fn._cache_size() == traces_before
+    assert len(E._STRUCTURE_CACHE) == structures_before
+    assert {k: f._cache_size() for k, f in E._STRUCTURE_CACHE.items()} == trace_counts
