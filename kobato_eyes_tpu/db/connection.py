@@ -68,9 +68,30 @@ def _apply_pragmas(conn: sqlite3.Connection, *, unsafe_fast: bool = False) -> No
     conn.execute("PRAGMA foreign_keys = ON")
     conn.execute("PRAGMA busy_timeout = 30000")
     if unsafe_fast:
-        conn.execute("PRAGMA journal_mode = MEMORY")
-        conn.execute("PRAGMA synchronous = OFF")
-        conn.execute("PRAGMA temp_store = MEMORY")
+        try:
+            # eager exclusive lock (reference db_writing_lifecycle.py:27-57);
+            # a concurrent holder degrades us to the WAL profile instead of
+            # failing the run (reference db_writing.py:235-257 fallback).
+            # Probe with a short busy timeout — waiting out the full 30s
+            # would stall writer startup behind any long reader.
+            conn.execute("PRAGMA busy_timeout = 1000")
+            conn.execute("PRAGMA locking_mode = EXCLUSIVE")
+            conn.execute("BEGIN IMMEDIATE")
+            conn.execute("COMMIT")
+            conn.execute("PRAGMA busy_timeout = 30000")
+            conn.execute("PRAGMA journal_mode = MEMORY")
+            conn.execute("PRAGMA synchronous = OFF")
+            conn.execute("PRAGMA temp_store = MEMORY")
+        except sqlite3.OperationalError:
+            logger.warning("unsafe-fast exclusive lock unavailable; using WAL profile")
+            try:
+                conn.execute("ROLLBACK")
+            except sqlite3.OperationalError:
+                pass
+            conn.execute("PRAGMA busy_timeout = 30000")
+            conn.execute("PRAGMA locking_mode = NORMAL")
+            conn.execute("PRAGMA journal_mode = WAL")
+            conn.execute("PRAGMA synchronous = NORMAL")
     else:
         conn.execute("PRAGMA journal_mode = WAL")
         conn.execute("PRAGMA synchronous = NORMAL")

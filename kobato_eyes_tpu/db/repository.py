@@ -241,20 +241,48 @@ def clear_tagger_sig(
 
 
 def upsert_tags(
-    conn: sqlite3.Connection, tags: Iterable[tuple[str, int]]
+    conn: sqlite3.Connection,
+    tags: Iterable[tuple[str, int]],
+    *,
+    cache: dict[str, int] | None = None,
 ) -> dict[str, int]:
-    """name->(id) upsert keeping the first-seen category (reference tags.py:10-27)."""
+    """name->id upsert keeping the first-seen category (reference tags.py:10-27).
+
+    Batched: existing names resolve with chunked SELECTs and only genuinely
+    new names are inserted (executemany).  ``cache`` (writer-lifetime tag-def
+    cache, reference db_writing_standard.py upsert_tags_uncommitted) makes
+    repeat flushes skip the table entirely — the per-name RETURNING loop this
+    replaces was ~40% of bulk-write wall at 70k files x 30 tags.
+    """
     ids: dict[str, int] = {}
+    pending: list[tuple[str, int]] = []
     for name, category in tags:
-        row = conn.execute(
-            """
-            INSERT INTO tags (name, category) VALUES (?, ?)
-            ON CONFLICT(name) DO UPDATE SET category = tags.category
-            RETURNING id
-            """,
-            (name, int(category)),
-        ).fetchone()
-        ids[name] = int(row[0])
+        if cache is not None and name in cache:
+            ids[name] = cache[name]
+        else:
+            pending.append((name, int(category)))
+    if pending:
+        names = [n for n, _ in pending]
+        for chunk in _chunks(names):
+            ph = ",".join("?" * len(chunk))
+            for nm, i in conn.execute(
+                f"SELECT name, id FROM tags WHERE name IN ({ph})", list(chunk)
+            ):
+                ids[nm] = int(i)
+        missing = [(n, c) for n, c in pending if n not in ids]
+        if missing:
+            conn.executemany(
+                "INSERT OR IGNORE INTO tags (name, category) VALUES (?, ?)", missing
+            )
+            for chunk in _chunks([n for n, _ in missing]):
+                ph = ",".join("?" * len(chunk))
+                for nm, i in conn.execute(
+                    f"SELECT name, id FROM tags WHERE name IN ({ph})", list(chunk)
+                ):
+                    ids[nm] = int(i)
+        if cache is not None:
+            for n, _ in pending:
+                cache[n] = ids[n]
     return ids
 
 
@@ -270,14 +298,19 @@ class TaggingItem:
     tagged_at: float | None = None
 
 
-def write_tagging_batch(conn: sqlite3.Connection, items: Sequence[TaggingItem]) -> None:
+def write_tagging_batch(
+    conn: sqlite3.Connection,
+    items: Sequence[TaggingItem],
+    *,
+    tag_cache: dict[str, int] | None = None,
+) -> None:
     """Single-transaction batch write (reference repository.py:501-575):
     upsert tag defs, replace file_tags per file, update file metadata."""
     if not items:
         return
     all_tags = {(name, cat) for item in items for (name, _s, cat) in item.tags}
     with conn:
-        tag_ids = upsert_tags(conn, sorted(all_tags))
+        tag_ids = upsert_tags(conn, sorted(all_tags), cache=tag_cache)
         file_ids = [item.file_id for item in items]
         for chunk in _chunks(file_ids):
             ph = ",".join("?" * len(chunk))

@@ -128,15 +128,27 @@ class CatalogWriter:
             return
         self._ready.set()
         buffer: list[WriteItem] = []
+        # writer-lifetime tag-def cache (reference StandardBatchWriter)
+        self._tag_cache: dict[str, int] = {}
+        self._flushes_since_passive = 0
+        self._flushes_since_truncate = 0
         try:
             while True:
-                msg = self._queue.get()
+                try:
+                    msg = self._queue.get(timeout=0.5)
+                except queue.Empty:
+                    # idle housekeeping (reference db_writing.py:369-394):
+                    # TRUNCATE checkpoint + optimize every 32 flushes
+                    self._idle_maintenance(conn)
+                    continue
                 if isinstance(msg, WriteItem):
                     buffer.append(msg)
                     if len(buffer) >= self._flush_chunk:
                         self._flush(conn, buffer)
+                        self._checkpoint_cadence(conn)
                 elif isinstance(msg, WriteFlush):
                     self._flush(conn, buffer)
+                    self._checkpoint_cadence(conn)
                 elif isinstance(msg, WriteStop):
                     if msg.flush:
                         self._flush(conn, buffer)
@@ -152,6 +164,37 @@ class CatalogWriter:
             except Exception:  # noqa: BLE001
                 pass
 
+    def _checkpoint_cadence(self, conn) -> None:
+        """Adaptive WAL checkpoint pacing (reference db_writing.py:369-394):
+        PASSIVE every 2 flushes, forced TRUNCATE at >= 256 MB of WAL.  No-op
+        under the unsafe-fast MEMORY-journal profile."""
+        if self._unsafe_fast:
+            return
+        self._flushes_since_passive += 1
+        self._flushes_since_truncate += 1
+        wal = Path(str(self._db_path) + "-wal")
+        try:
+            if wal.exists() and wal.stat().st_size >= 256 * 1024 * 1024:
+                conn.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+                self._flushes_since_passive = 0
+                self._flushes_since_truncate = 0
+            elif self._flushes_since_passive >= 2:
+                conn.execute("PRAGMA wal_checkpoint(PASSIVE)")
+                self._flushes_since_passive = 0
+        except Exception:  # noqa: BLE001
+            # Failure policy: checkpoint pacing is best-effort housekeeping
+            logger.debug("wal checkpoint failed", exc_info=True)
+
+    def _idle_maintenance(self, conn) -> None:
+        if self._unsafe_fast or self._flushes_since_truncate < 32:
+            return
+        try:
+            conn.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+            conn.execute("PRAGMA optimize")
+            self._flushes_since_truncate = 0
+        except Exception:  # noqa: BLE001
+            logger.debug("idle wal maintenance failed", exc_info=True)
+
     def _flush(self, conn, buffer: list[WriteItem]) -> None:
         if not buffer:
             return
@@ -163,7 +206,7 @@ class CatalogWriter:
             )
             for w in buffer
         ]
-        write_tagging_batch(conn, items)
+        write_tagging_batch(conn, items, tag_cache=self._tag_cache)
         self.items_written += len(buffer)
         self.flushes += 1
         logger.debug("writer flush: %d items in %.3fs", len(buffer), time.perf_counter() - t0)

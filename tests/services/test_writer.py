@@ -121,3 +121,92 @@ def test_start_twice_rejected(db):
     with pytest.raises(RuntimeError):
         w.start()
     w.stop()
+
+
+def test_unsafe_fast_falls_back_to_wal_when_locked(db):
+    """Reference db_writing.py:235-257: when the exclusive lock is held by
+    someone else, the unsafe-fast writer degrades to the WAL profile and the
+    run still completes."""
+    import sqlite3
+
+    ids = _seed_files(db, 5)
+    holder = sqlite3.connect(str(db))
+    holder.execute("BEGIN IMMEDIATE")
+    try:
+        w = CatalogWriter(db, unsafe_fast=True)
+        w.start()  # lock attempt fails -> WAL fallback (no exception)
+        holder.execute("COMMIT")  # release so writes can proceed
+        for fid in ids:
+            w.put(_item(fid))
+        w.stop(flush=True)
+        w.raise_if_failed()
+    finally:
+        holder.close()
+    conn = bootstrap(db)
+    try:
+        count = conn.execute("SELECT COUNT(*) FROM file_tags").fetchone()[0]
+        assert count == len(ids)
+    finally:
+        conn.close()
+
+
+def test_wal_checkpoint_cadence_truncates(db, tmp_path):
+    """Standard-profile writer checkpoints the WAL as it flushes; after a
+    sizable run the WAL must not grow without bound."""
+    ids = _seed_files(db, 600)
+    w = CatalogWriter(db, unsafe_fast=False, flush_chunk=100)
+    w.start()
+    for fid in ids:
+        w.put(_item(fid))
+    w.flush()
+    # give the idle maintenance a chance (cadence counters + idle sweep)
+    time.sleep(1.2)
+    w.stop(flush=True)
+    w.raise_if_failed()
+    wal = db.with_name(db.name + "-wal")
+    # WAL either checkpointed away or small relative to the data written
+    assert (not wal.exists()) or wal.stat().st_size < 8 * 1024 * 1024
+
+
+def test_interleaved_flush_and_stop_under_contention(db):
+    """Concurrent producers + explicit flush storms + reader contention must
+    neither deadlock nor lose items (quiesce-free writer path)."""
+    ids = _seed_files(db, 300)
+    w = CatalogWriter(db, unsafe_fast=False, flush_chunk=32)
+    w.start()
+    errors: list[Exception] = []
+
+    def produce(chunk):
+        try:
+            for fid in chunk:
+                w.put(_item(fid))
+                if fid % 50 == 0:
+                    w.flush()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def read_loop():
+        try:
+            for _ in range(20):
+                conn = bootstrap(db)
+                conn.execute("SELECT COUNT(*) FROM file_tags").fetchone()
+                conn.close()
+                time.sleep(0.01)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=produce, args=(ids[i::3],)) for i in range(3)
+    ] + [threading.Thread(target=read_loop)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    w.stop(flush=True)
+    w.raise_if_failed()
+    assert not errors
+    conn = bootstrap(db)
+    try:
+        assert conn.execute("SELECT COUNT(*) FROM file_tags").fetchone()[0] == len(ids)
+    finally:
+        conn.close()
