@@ -82,3 +82,90 @@ def test_reset_database_backs_up(tmp_path):
     # fresh bootstrap after reset works
     bootstrap(db).close()
     assert db.exists()
+
+
+# --- tools/migrate_data.py ------------------------------------------------
+
+def _paths(tmp_path):
+    from kobato_eyes_tpu.utils.paths import get_app_paths
+
+    return get_app_paths(tmp_path / "data")
+
+
+def test_migrate_flat_db_moves_side_files(tmp_path):
+    from migrate_data import migrate_all, migrate_flat_db
+
+    paths = _paths(tmp_path)
+    paths.root.mkdir(parents=True)
+    (paths.root / "catalog.sqlite3").write_bytes(b"db")
+    (paths.root / "catalog.sqlite3-wal").write_bytes(b"wal")
+    assert migrate_flat_db(paths)
+    assert paths.db_path.read_bytes() == b"db"
+    assert (paths.db_path.parent / "catalog.sqlite3-wal").read_bytes() == b"wal"
+    assert not (paths.root / "catalog.sqlite3").exists()
+    # idempotent
+    assert not migrate_all(paths)
+
+
+def test_migrate_flat_db_refuses_overwrite(tmp_path):
+    from migrate_data import migrate_flat_db
+
+    paths = _paths(tmp_path)
+    paths.ensure()
+    paths.db_path.write_bytes(b"current")
+    (paths.root / "catalog.sqlite3").write_bytes(b"legacy")
+    assert not migrate_flat_db(paths)
+    assert paths.db_path.read_bytes() == b"current"
+
+
+def test_migrate_legacy_home_relocates(tmp_path):
+    from migrate_data import migrate_legacy_home
+
+    paths = _paths(tmp_path)
+    legacy = tmp_path / "old-home"
+    (legacy / "db").mkdir(parents=True)
+    (legacy / "db" / "catalog.sqlite3").write_bytes(b"old")
+    assert migrate_legacy_home(paths, legacy=legacy)
+    assert paths.db_path.read_bytes() == b"old"
+    assert not legacy.exists()
+
+
+def test_migrate_legacy_home_keeps_existing_data(tmp_path):
+    from migrate_data import migrate_legacy_home
+
+    paths = _paths(tmp_path)
+    paths.ensure()
+    paths.db_path.write_bytes(b"current")
+    legacy = tmp_path / "old-home"
+    legacy.mkdir()
+    (legacy / "anything").write_text("x")
+    assert not migrate_legacy_home(paths, legacy=legacy)
+    assert legacy.exists()
+
+
+# --- tools/find_magic_numbers.py -------------------------------------------
+
+def test_magic_number_lint_flags_and_allows(tmp_path):
+    from find_magic_numbers import scan_file
+
+    src = tmp_path / "m.py"
+    src.write_text(
+        "LIMIT = 900\n"                      # module constant: allowed
+        "x = 37\n"                            # flagged
+        "y = x + 1\n"                         # 1 allowed
+        "z = 0.5\n"                           # allowed float
+        "tol = 1e-6\n"                        # scientific: allowed
+        "cap = 4096  # noqa: magic\n"         # suppressed
+        "if x > 17:\n    pass\n"              # flagged comparison
+    )
+    found = scan_file(src)
+    values = sorted(v for _, v in found)
+    assert values == [17, 37]
+
+
+def test_magic_number_lint_handles_annassign_constants(tmp_path):
+    from find_magic_numbers import scan_file
+
+    src = tmp_path / "m.py"
+    src.write_text("WINDOW: int = 256\nBANDS = (16, 4)\n")
+    assert scan_file(src) == []

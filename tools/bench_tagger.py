@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--image-size", type=int, default=448)
     parser.add_argument("--warmup-batches", type=int, default=1)
+    parser.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a jax.profiler device trace of the timed loop into DIR",
+    )
     args = parser.parse_args(argv)
 
     from kobato_eyes_tpu.models.labels import synthetic_labels
@@ -103,15 +108,30 @@ def main(argv: list[str] | None = None) -> int:
     # -- throughput (pipelined): dispatch every batch, then drain ----------
     # JAX dispatch is async — issuing all forwards lets transfers and compute
     # overlap instead of paying a full host<->device round trip per batch.
+    from kobato_eyes_tpu.utils.profiling import device_trace
+
     timed = batches[args.warmup_batches :] or batches
-    t0 = time.perf_counter()
-    probs_list = [tagger.forward_probs(b) for b in timed]
-    total_imgs = 0
-    for b, probs in zip(timed, probs_list):
-        results = tagger._select(probs, thr, dict(tagger.max_tags), None)
-        total_imgs += len(results)
-    elapsed = time.perf_counter() - t0
+    with device_trace(args.profile):
+        t0 = time.perf_counter()
+        probs_list = [tagger.forward_probs(b) for b in timed]
+        total_imgs = 0
+        for b, probs in zip(timed, probs_list):
+            results = tagger._select(probs, thr, dict(tagger.max_tags), None)
+            total_imgs += len(results)
+        elapsed = time.perf_counter() - t0
     imgs_per_s = total_imgs / elapsed if elapsed > 0 else 0.0
+
+    # -- roofline: ask the compiled forward for its FLOP count and state the
+    # measured device time against the chip's published peak (MFU) ----------
+    from kobato_eyes_tpu.utils.profiling import compiled_cost, roofline_summary
+
+    cost = compiled_cost(lambda p, b: tagger._forward_probs(p, b), tagger.params, batches[0])
+    roofline = None
+    if cost.get("flops") and infer_times:
+        roofline = roofline_summary(cost["flops"], np.median(infer_times) / 1000.0)
+        roofline = {
+            k: (round(v, 4) if isinstance(v, float) else v) for k, v in roofline.items()
+        }
 
     print(json.dumps({
         "metric": f"{args.tagger}_tagging_images_per_sec",
@@ -125,6 +145,7 @@ def main(argv: list[str] | None = None) -> int:
         "infer_ms": _percentiles(infer_times),
         "post_ms": _percentiles(post_times),
         "prep_ms": _percentiles([t * 1000 for t in prep_times]),
+        "roofline": roofline,
     }))
     return 0
 
