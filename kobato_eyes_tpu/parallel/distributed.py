@@ -6,8 +6,9 @@ and the (data, model) mesh spans every addressable device so GSPMD keeps
 model-parallel collectives on ICI and only data-parallel gradient reductions
 cross DCN (mesh axis order puts `model` innermost = fastest links).
 
-Untestable on a 1-host dev box beyond argument plumbing; the entry points
-are deliberately thin wrappers over jax primitives.
+Tested on one box by spawning two OS processes with virtual CPU devices and
+joining them through ``initialize_cluster`` (collectives over Gloo, the CPU
+stand-in for DCN): ``tests/parallel/test_multihost.py``.
 """
 
 from __future__ import annotations
