@@ -94,3 +94,116 @@ def test_swin_forward_on_tpu(tpu_backend, rng):
     x = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)).astype(jnp.float32)
     logits = SwinV2(cfg).apply({"params": params}, x)
     assert logits.shape == (2, 16) and bool(jnp.isfinite(logits).all())
+
+
+def test_threshold_sweep_on_tpu(tpu_backend, rng):
+    """One device scan serves every slider value (the --sweep path)."""
+    from pathlib import Path
+
+    from kobato_eyes_tpu.dup.engine import TpuDuplicateScanner, cluster_ids
+    from kobato_eyes_tpu.dup.types import DuplicateFileMeta, DuplicateScanConfig
+
+    h = rng.integers(0, 1 << 64, size=600, dtype=np.uint64)
+    h[300:] = h[:300]
+    for i in range(300, 600):
+        for bit in rng.integers(0, 64, size=int(rng.integers(0, 5))):
+            h[i] ^= np.uint64(1) << np.uint64(bit)
+    files = [
+        DuplicateFileMeta(
+            file_id=i, path=Path(f"/t/{i}.png"), size=1000 + i,
+            width=None, height=None, phash=int(h[i]),
+        )
+        for i in range(600)
+    ]
+    scanner = TpuDuplicateScanner(DuplicateScanConfig(hamming_threshold=8))
+    sweep = scanner.build_clusters_sweep(files, thresholds=[2, 4, 8])
+    for thr in (2, 4, 8):
+        solo = TpuDuplicateScanner(
+            DuplicateScanConfig(hamming_threshold=thr)
+        ).build_clusters(files)
+        assert cluster_ids(sweep[thr]) == cluster_ids(solo)
+
+
+def test_resident_packing_guard_on_tpu(tpu_backend, rng):
+    """n >= 2^20 on the wide-window path must refuse (20-bit row packing,
+    ops/hamming.py) instead of silently corrupting edge indices."""
+    from kobato_eyes_tpu.ops.hamming import BandedHammingScanner
+
+    n = (1 << 20) + 64
+    h = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    h[:40] = h[0]  # one 40-deep bucket forces window > 32 (the wide path)
+    with pytest.raises(ValueError, match="20 bits"):
+        BandedHammingScanner().scan(h, hamming_threshold=4)
+
+
+def test_epoch_delta_on_tpu(tpu_backend, tmp_path):
+    """Incremental update_epoch equals a fresh build on hardware."""
+    from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+    from kobato_eyes_tpu.db.repository import (
+        TaggingItem,
+        upsert_file,
+        write_tagging_batch,
+    )
+    from kobato_eyes_tpu.query.engine import build_epoch, search_epoch, update_epoch
+
+    reset_bootstrap_cache()
+    conn = bootstrap(tmp_path / "d.sqlite")
+    try:
+        fids = []
+        for i in range(60):
+            fid = upsert_file(conn, path=f"/d/{i}.png", mtime=1e9 + i)
+            write_tagging_batch(conn, [TaggingItem(fid, [("alpha", 0.9, 0)])])
+            fids.append(fid)
+        epoch = build_epoch(conn)
+        # retag a third of the files and soft-delete two
+        for fid in fids[:20]:
+            write_tagging_batch(conn, [TaggingItem(fid, [("beta", 0.8, 0)])])
+        conn.execute("UPDATE files SET is_present = 0 WHERE id IN (?, ?)", fids[20:22])
+        conn.commit()
+        delta = update_epoch(conn, epoch, changed_file_ids=fids[:22], version=1)
+        fresh = build_epoch(conn, version=1)
+    finally:
+        conn.close()
+    for q in ("alpha", "beta", "alpha -beta"):
+        got = [r.file_id for r in search_epoch(delta, q, order_by="id", limit=100)]
+        want = [r.file_id for r in search_epoch(fresh, q, order_by="id", limit=100)]
+        assert got == want, q
+    assert len(search_epoch(delta, "beta", order_by="id", limit=100)) == 20
+
+
+def test_sharded_scan_on_tpu(tpu_backend, rng):
+    """shard_map windowed scan on the hardware mesh (all attached chips)."""
+    import jax
+
+    from kobato_eyes_tpu.ops.hamming import band_keys_np, bucket_ok_np, edge_scan_np
+    from kobato_eyes_tpu.parallel.mesh import make_mesh
+    from kobato_eyes_tpu.parallel.sharded_scan import sharded_window_scan
+    from kobato_eyes_tpu.utils.bits import u64_to_u32pair
+
+    devs = [d for d in jax.devices() if d.platform != "cpu"]
+    n = 256
+    ph = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    ph[n // 2 :] = ph[: n // 2]
+    keys = band_keys_np(ph, 16, 4)
+    ok = bucket_ok_np(keys, None)
+    pairs = u64_to_u32pair(ph)
+    orders = np.stack(
+        [np.argsort(keys[:, b].astype(np.uint32), kind="stable") for b in range(4)]
+    )
+    sk = np.take_along_axis(keys.T.astype(np.uint32), orders, axis=1)
+    sph = pairs[orders]
+    sok = np.take_along_axis(ok.T, orders, axis=1)
+    max_run = max(
+        int(np.unique(keys[:, b], return_counts=True)[1].max()) for b in range(4)
+    )
+    mesh = make_mesh(data=len(devs), model=1, devices=devs)
+    b, i_s, j_s, d = sharded_window_scan(
+        mesh, sk, sph, sok, hamming_threshold=6, window=max(8, max_run)
+    )
+    gi = orders[b, i_s]
+    gj = orders[b, j_s]
+    lo, hi = np.minimum(gi, gj), np.maximum(gi, gj)
+    _, first = np.unique(lo * n + hi, return_index=True)
+    got = {(int(lo[k]), int(hi[k]), int(d[k])) for k in first}
+    ni, nj, nd = edge_scan_np(ph, keys, ok, hamming_threshold=6)
+    assert got == {(int(a), int(c), int(e)) for a, c, e in zip(ni, nj, nd)}
