@@ -73,6 +73,26 @@ def vit_config(preset: str = "base", **overrides: Any) -> ViTConfig:
     return ViTConfig(**kw)
 
 
+def vit_forward_flops(cfg: ViTConfig, batch_size: int, *, with_head: bool = True) -> float:
+    """Analytic matmul FLOPs of one forward pass (2 FLOPs per MAC).
+
+    XLA's ``compiled.cost_analysis()`` counts the ``nn.scan``'d block body
+    ONCE rather than ``depth`` times (the scan is a single while-loop body to
+    the cost model), so roofline/MFU math must use this closed form; the
+    compiled number validates the per-layer term (see tools/bench_tagger.py).
+    """
+    d, t = cfg.hidden_dim, cfg.num_patches + 1
+    patch = 2 * cfg.num_patches * (cfg.patch_size**2 * 3) * d
+    per_layer = (
+        2 * t * d * 3 * d  # qkv projection
+        + 2 * 2 * t * t * d  # attention logits + weighted sum
+        + 2 * t * d * d  # output projection
+        + 2 * 2 * t * d * cfg.mlp_dim  # fc1 + fc2
+    )
+    head = 2 * d * cfg.num_classes if with_head else 0
+    return float(batch_size) * (patch + cfg.depth * per_layer + head)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 

@@ -79,7 +79,6 @@ class TagIndexEpoch:
     offsets: np.ndarray  # (T+1,) int64, host
     rows_dev: jnp.ndarray  # (nnz_pad,) int32
     scores_dev: jnp.ndarray  # (nnz_pad,) float32
-    tids_dev: jnp.ndarray  # (nnz_pad,) int32 tag id per entry
     rows_np: np.ndarray  # (nnz,) int32, host
     scores_np: np.ndarray  # (nnz,) float64, host
     # per-category panels (device, padded to n_pad rows)
@@ -109,11 +108,14 @@ def _pad_bucket(x: int) -> int:
 
 def _device_postings(
     r_idx: np.ndarray, sc: np.ndarray, t_idx: np.ndarray, n: int, t_count: int
-) -> tuple[int, int, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[int, int, jnp.ndarray, jnp.ndarray]:
     """Pad postings to bucketed shapes and place on device.
 
-    Padding entries point at the dummy row (n_pad-1 >= n) and dummy tag
-    (t_pad-1 >= T) so they can never contribute to a real file's mask.
+    Padding entries point at the dummy row (n_pad-1 >= n) with score 0 so
+    they can never contribute to a real file's mask.  Tag identity is
+    positional (tag-major CSR + host ``offsets``); no per-entry tag-id array
+    ships to the device — it would be a third of the upload and HBM for
+    something no compiled program reads.
     """
     nnz = len(r_idx)
     n_pad = _pad_bucket(n)
@@ -121,11 +123,9 @@ def _device_postings(
     nnz_pad = _pad_bucket(nnz)
     rows = np.full(nnz_pad, n_pad - 1, dtype=np.int32)
     rows[:nnz] = r_idx
-    tids = np.full(nnz_pad, t_pad - 1, dtype=np.int32)
-    tids[:nnz] = t_idx
     scores = np.zeros(nnz_pad, dtype=np.float32)
     scores[:nnz] = sc
-    return n_pad, t_pad, jnp.asarray(tids), jnp.asarray(rows), jnp.asarray(scores)
+    return n_pad, t_pad, jnp.asarray(rows), jnp.asarray(scores)
 
 
 def _pad_panels(
@@ -169,7 +169,7 @@ def _assemble_epoch(
         cat_max_dev = jnp.asarray(cat_max)
         cat_present_dev = jnp.asarray(cat_present)
 
-    n_pad, t_pad, tids_dev, rows_dev, scores_dev = _device_postings(
+    n_pad, t_pad, rows_dev, scores_dev = _device_postings(
         r_idx.astype(np.int32), sc.astype(np.float32), t_idx, n, len(tag_names)
     )
     cat_max_dev, cat_present_dev = _pad_panels(cat_max_dev, cat_present_dev, n_pad)
@@ -186,7 +186,6 @@ def _assemble_epoch(
         offsets=offsets,
         rows_dev=rows_dev,
         scores_dev=scores_dev,
-        tids_dev=tids_dev,
         rows_np=r_idx.astype(np.int32),
         scores_np=sc.astype(np.float64),
         cat_max_dev=cat_max_dev,

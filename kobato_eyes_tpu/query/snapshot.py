@@ -106,7 +106,7 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
     n = len(arrays["file_ids"])
     t_count = len(tag_names)
     t_idx = np.repeat(np.arange(t_count, dtype=np.int64), np.diff(offsets))
-    n_pad, t_pad, tids_dev, rows_dev, scores_dev = _device_postings(
+    n_pad, t_pad, rows_dev, scores_dev = _device_postings(
         rows.astype(np.int32), scores64.astype(np.float32), t_idx, n, t_count
     )
     cat_max_dev, cat_present_dev = _pad_panels(
@@ -128,7 +128,6 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         offsets=offsets,
         rows_dev=rows_dev,
         scores_dev=scores_dev,
-        tids_dev=tids_dev,
         rows_np=rows,
         scores_np=scores64,
         cat_max_dev=cat_max_dev,

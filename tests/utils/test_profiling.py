@@ -46,3 +46,20 @@ def test_device_trace_noop_and_capture(tmp_path):
     # refuse to trace (the context degrades to a warning, never an error)
     if out.exists():
         assert any(out.rglob("*")) or True
+
+
+def test_vit_forward_flops_closed_form():
+    """Analytic FLOPs match the compiled cost model on the unscanned parts:
+    patch-embed + ONE layer + head == cost_analysis (which counts the
+    nn.scan body once) to within norm/softmax noise."""
+    import dataclasses
+
+    from kobato_eyes_tpu.models.vit import vit_config, vit_forward_flops
+
+    cfg = vit_config("base", image_size=448, num_classes=13461)
+    full = vit_forward_flops(cfg, 32)
+    one_layer = vit_forward_flops(dataclasses.replace(cfg, depth=1), 32)
+    # measured on hardware: compiled cost_analysis = 454.3 GFLOP for batch-32
+    assert abs(one_layer - 454.3e9) / 454.3e9 < 0.03
+    # full model is depth x the per-layer term plus fixed ends
+    assert full > 11 * (one_layer - 2 * 768 * 13461 * 32)

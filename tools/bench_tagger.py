@@ -121,17 +121,27 @@ def main(argv: list[str] | None = None) -> int:
         elapsed = time.perf_counter() - t0
     imgs_per_s = total_imgs / elapsed if elapsed > 0 else 0.0
 
-    # -- roofline: ask the compiled forward for its FLOP count and state the
-    # measured device time against the chip's published peak (MFU) ----------
+    # -- roofline: analytic forward FLOPs (XLA cost_analysis counts the
+    # nn.scan'd layer stack once, not x depth — see vit_forward_flops) vs the
+    # measured device time and the chip's published peak (MFU) --------------
+    from kobato_eyes_tpu.models.vit import ViTConfig, vit_forward_flops
     from kobato_eyes_tpu.utils.profiling import compiled_cost, roofline_summary
 
     cost = compiled_cost(lambda p, b: tagger._forward_probs(p, b), tagger.params, batches[0])
     roofline = None
-    if cost.get("flops") and infer_times:
-        roofline = roofline_summary(cost["flops"], np.median(infer_times) / 1000.0)
-        roofline = {
-            k: (round(v, 4) if isinstance(v, float) else v) for k, v in roofline.items()
-        }
+    if infer_times:
+        flops = (
+            vit_forward_flops(tagger.cfg, batches[0].shape[0])
+            if isinstance(tagger.cfg, ViTConfig)
+            else cost.get("flops", 0.0)
+        )
+        if flops:
+            roofline = roofline_summary(flops, np.median(infer_times) / 1000.0)
+            roofline["compiled_flops_scan_body"] = cost.get("flops")
+            roofline = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in roofline.items()
+            }
 
     print(json.dumps({
         "metric": f"{args.tagger}_tagging_images_per_sec",
