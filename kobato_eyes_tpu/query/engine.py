@@ -117,15 +117,25 @@ def _device_postings(
     ships to the device — it would be a third of the upload and HBM for
     something no compiled program reads.
     """
+    from kobato_eyes_tpu.utils.metrics import metrics
+
     nnz = len(r_idx)
     n_pad = _pad_bucket(n)
     t_pad = _pad_bucket(t_count)
     nnz_pad = _pad_bucket(nnz)
-    rows = np.full(nnz_pad, n_pad - 1, dtype=np.int32)
+    # empty + slice-fill (a np.full over nnz_pad writes the whole 2x-padded
+    # array twice; only the tail needs the dummy fill)
+    rows = np.empty(nnz_pad, dtype=np.int32)
     rows[:nnz] = r_idx
-    scores = np.zeros(nnz_pad, dtype=np.float32)
+    rows[nnz:] = n_pad - 1
+    scores = np.empty(nnz_pad, dtype=np.float32)
     scores[:nnz] = sc
-    return n_pad, t_pad, jnp.asarray(rows), jnp.asarray(scores)
+    scores[nnz:] = 0.0
+    with metrics.timer("epoch.upload"):
+        rows_dev = jnp.asarray(rows)
+        scores_dev = jnp.asarray(scores)
+        jax.block_until_ready((rows_dev, scores_dev))
+    return n_pad, t_pad, rows_dev, scores_dev
 
 
 def _pad_panels(
@@ -153,9 +163,12 @@ def _assemble_epoch(
     presorted: bool = False,  # t_idx already tag-sorted (delta merge path)
     panels: tuple[jnp.ndarray, jnp.ndarray] | None = None,  # precomputed device panels
 ) -> TagIndexEpoch:
+    from kobato_eyes_tpu.utils.metrics import metrics
+
     if not presorted:
-        order = np.argsort(t_idx, kind="stable")
-        t_idx, r_idx, sc = t_idx[order], r_idx[order], sc[order]
+        with metrics.timer("epoch.sort"):
+            order = np.argsort(t_idx, kind="stable")
+            t_idx, r_idx, sc = t_idx[order], r_idx[order], sc[order]
     offsets = np.zeros(len(tag_names) + 1, dtype=np.int64)
     # bincount instead of np.add.at (ufunc.at is ~20x slower at 10M entries)
     counts = np.bincount(t_idx, minlength=len(tag_names))
@@ -170,7 +183,7 @@ def _assemble_epoch(
         cat_present_dev = jnp.asarray(cat_present)
 
     n_pad, t_pad, rows_dev, scores_dev = _device_postings(
-        r_idx.astype(np.int32), sc.astype(np.float32), t_idx, n, len(tag_names)
+        r_idx.astype(np.int32, copy=False), sc.astype(np.float32), t_idx, n, len(tag_names)
     )
     cat_max_dev, cat_present_dev = _pad_panels(cat_max_dev, cat_present_dev, n_pad)
 
@@ -186,8 +199,8 @@ def _assemble_epoch(
         offsets=offsets,
         rows_dev=rows_dev,
         scores_dev=scores_dev,
-        rows_np=r_idx.astype(np.int32),
-        scores_np=sc.astype(np.float64),
+        rows_np=r_idx.astype(np.int32, copy=False),
+        scores_np=sc.astype(np.float64, copy=False),
         cat_max_dev=cat_max_dev,
         cat_present_dev=cat_present_dev,
         n_pad=n_pad,
@@ -347,19 +360,26 @@ def update_epoch(
     order = np.argsort(file_ids, kind="stable")
     file_ids = file_ids[order]
 
-    prev_pos = {int(f): i for i, f in enumerate(prev_ids.tolist())}
-    paths_all = []
-    mtimes_all = np.empty(len(file_ids), dtype=np.float64)
-    sizes_all = np.empty(len(file_ids), dtype=np.int64)
-    for i, f in enumerate(file_ids.tolist()):
-        if f in alive:
-            p, mt, sz = alive[f]
-        else:
-            j = prev_pos[f]
-            p, mt, sz = prev.paths[j], float(prev.mtimes[j]), int(prev.sizes[j])
-        paths_all.append(p)
-        mtimes_all[i] = mt
-        sizes_all[i] = sz
+    # File metadata for the new axis, vectorized (a Python loop over the
+    # full axis costs seconds at 300k files; every file is either kept from
+    # prev or in the tiny `alive` set)
+    n_new = len(file_ids)
+    add_pos = np.searchsorted(file_ids, add_ids)
+    kept_pos = np.ones(n_new, dtype=bool)
+    kept_pos[add_pos] = False
+    old_idx = np.searchsorted(prev_ids, file_ids[kept_pos])
+    mtimes_all = np.empty(n_new, dtype=np.float64)
+    sizes_all = np.empty(n_new, dtype=np.int64)
+    paths_arr = np.empty(n_new, dtype=object)
+    mtimes_all[kept_pos] = prev.mtimes[old_idx]
+    sizes_all[kept_pos] = prev.sizes[old_idx]
+    paths_arr[kept_pos] = np.asarray(prev.paths, dtype=object)[old_idx]
+    if len(add_ids):
+        meta = [alive[int(f)] for f in add_ids]
+        paths_arr[add_pos] = [m[0] for m in meta]
+        mtimes_all[add_pos] = [m[1] for m in meta]
+        sizes_all[add_pos] = [m[2] for m in meta]
+    paths_all = paths_arr.tolist()
 
     # refreshed tag vocabulary (append-only in practice)
     tags = _raw_cursor(conn).execute("SELECT id, name, category FROM tags ORDER BY id").fetchall()
@@ -371,21 +391,7 @@ def update_epoch(
     name_pos = {n: i for i, n in enumerate(tag_names)}
     prev_tid_map = np.array([name_pos.get(n, -1) for n in prev.tag_names], dtype=np.int64)
 
-    # surviving postings from the previous epoch (host mirrors keep f64)
-    prev_rows = prev.rows_np
-    prev_scores = prev.scores_np
-    prev_tids = np.repeat(
-        np.arange(prev.num_tags, dtype=np.int64), np.diff(prev.offsets)
-    )
-    surv = keep_mask[prev_rows]
-    s_rows_old = prev_rows[surv]
-    s_t_old = prev_tid_map[prev_tids[surv]]
-    s_sc = prev_scores[surv]
-    # remap old file rows -> new rows
-    old_to_new = np.searchsorted(file_ids, prev_ids)
-    s_rows = old_to_new[s_rows_old].astype(np.int32)
-    ok_t = s_t_old >= 0
-    s_rows, s_t, s_sc = s_rows[ok_t], s_t_old[ok_t], s_sc[ok_t]
+    from kobato_eyes_tpu.utils.metrics import metrics as _metrics
 
     # Vocabulary append-only fast path: prior tags must map to identical new
     # tids AND keep their categories (the reused per-category panels bake the
@@ -397,6 +403,35 @@ def update_epoch(
         and bool((prev_tid_map == np.arange(np_prev)).all())
         and bool((tag_cats[:np_prev] == prev.tag_cats).all())
     )
+    # Retag fast path: when no file entered or left the axis (the common
+    # delta — tags changed in place), old row indices stay valid and the
+    # 8.8M-entry row-remap gather is skipped entirely.
+    same_file_axis = np.array_equal(file_ids, prev_ids)
+
+    # surviving postings from the previous epoch (host mirrors keep f64).
+    # Every pass below is O(nnz) on the host; the point of this section is
+    # to do as FEW of those passes as possible (measured at 300k/8.8M nnz:
+    # the merge, not the device upload, is the delta's cost).
+    _t_merge = time.perf_counter()
+    prev_rows = prev.rows_np
+    prev_scores = prev.scores_np
+    prev_tids = np.repeat(
+        np.arange(prev.num_tags, dtype=np.int64), np.diff(prev.offsets)
+    )
+    surv_idx = np.flatnonzero(keep_mask[prev_rows])
+    s_rows_old = prev_rows[surv_idx]
+    s_sc = prev_scores[surv_idx]
+    if vocab_append_only:
+        s_t = prev_tids[surv_idx]  # identity tid map
+    else:
+        s_t = prev_tid_map[prev_tids[surv_idx]]
+        ok_t = s_t >= 0
+        s_rows_old, s_t, s_sc = s_rows_old[ok_t], s_t[ok_t], s_sc[ok_t]
+    if same_file_axis:
+        s_rows = s_rows_old  # already int32, rows unchanged
+    else:
+        old_to_new = np.searchsorted(file_ids, prev_ids).astype(np.int32)
+        s_rows = old_to_new[s_rows_old]
 
     # fresh postings for the changed-and-alive files
     if len(add_ids):
@@ -414,10 +449,21 @@ def update_epoch(
         if vocab_append_only:
             norder = np.argsort(n_t, kind="stable")
             n_t, n_rows, sc, fid = n_t[norder], n_rows[norder], sc[norder], fid[norder]
-            where = np.searchsorted(s_t, n_t, side="right")
-            t_idx = np.insert(s_t, where, n_t)
-            r_idx = np.insert(s_rows, where, n_rows)
-            scores = np.insert(s_sc, where, sc)
+            # one shared destination map instead of three np.insert calls
+            # (np.insert rebuilds its index bookkeeping per call)
+            total = len(s_t) + m
+            new_pos = np.searchsorted(s_t, n_t, side="right") + np.arange(m)
+            old_pos_mask = np.ones(total, dtype=bool)
+            old_pos_mask[new_pos] = False
+            t_idx = np.empty(total, dtype=s_t.dtype)
+            r_idx = np.empty(total, dtype=np.int32)
+            scores = np.empty(total, dtype=np.float64)
+            t_idx[new_pos] = n_t
+            r_idx[new_pos] = n_rows
+            scores[new_pos] = sc
+            t_idx[old_pos_mask] = s_t
+            r_idx[old_pos_mask] = s_rows
+            scores[old_pos_mask] = s_sc
         else:
             t_idx = np.concatenate([s_t, n_t])
             r_idx = np.concatenate([s_rows, n_rows])
@@ -425,6 +471,8 @@ def update_epoch(
     else:
         t_idx, r_idx, scores = s_t, s_rows, s_sc
 
+    _metrics.observe("epoch.delta.host_merge", time.perf_counter() - _t_merge)
+    _t_panels = time.perf_counter()
     # Panels: gather unchanged rows from the previous epoch ON DEVICE, set
     # the changed/added rows from their (tiny) postings.
     panels = None
@@ -455,6 +503,9 @@ def update_epoch(
                 jnp.asarray(apresent)
             )
         panels = (cat_max_dev, cat_present_dev)
+
+    _metrics.observe("epoch.delta.panels", time.perf_counter() - _t_panels)
+    _metrics.observe("epoch.delta.merge", time.perf_counter() - _t_merge)
 
     epoch = _assemble_epoch(
         version=version, file_ids=file_ids, mtimes=mtimes_all, sizes=sizes_all,
