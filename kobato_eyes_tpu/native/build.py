@@ -65,7 +65,7 @@ def load_extension_module(name: str):
         return mod
 
 
-def load_native_library(name: str) -> ctypes.CDLL:
+def load_native_library(name: str, *, extra_link_args: tuple[str, ...] = ()) -> ctypes.CDLL:
     """Load (building if needed) the shared object for ``name``."""
     with _LOCK:
         if name in _CACHE:
@@ -84,7 +84,7 @@ def load_native_library(name: str) -> ctypes.CDLL:
             cmd = [
                 "g++", "-O3", "-march=native", "-funroll-loops",
                 "-fno-math-errno", "-std=c++17", "-shared", "-fPIC",
-                str(src), "-o", str(tmp),
+                str(src), "-o", str(tmp), *extra_link_args,
             ]
             logger.info("building native component: %s", " ".join(cmd))
             proc = subprocess.run(cmd, capture_output=True, text=True)

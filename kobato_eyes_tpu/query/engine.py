@@ -263,10 +263,73 @@ def _fetch_by_id_chunks(
     return rows
 
 
+def _db_file_path(conn: sqlite3.Connection) -> str | None:
+    """Filesystem path of the main database, or None (e.g. :memory:)."""
+    for _, name, path in conn.execute("PRAGMA database_list"):
+        if name == "main":
+            return path or None
+    return None
+
+
+def _fetch_file_tag_arrays_native(conn: sqlite3.Connection) -> tuple | None:
+    """Full-table fetch through the C sqlite3 API (no per-row Python).
+
+    The Python binding's fetchall creates one tuple per row — measured 32 s
+    alone at 8.8M postings; the native walk is ~20x faster.  Reads on a
+    separate READ-ONLY connection (committed state; epoch builds run under
+    the single-writer discipline).  Returns None to fall back to the Python
+    path (: memory: DBs, row-count race, missing toolchain).
+    """
+    import ctypes
+
+    path = _db_file_path(conn)
+    if not path:
+        return None
+    try:
+        from kobato_eyes_tpu.native.build import load_native_library
+
+        lib = load_native_library(
+            "catalog_fetch", extra_link_args=("-l:libsqlite3.so.0",)
+        )
+    except Exception:  # noqa: BLE001 — native is an accelerator, never required
+        logger.warning("native catalog fetch unavailable; using Python path", exc_info=True)
+        return None
+    fn = lib.ket_fetch_file_tags
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    (expected,) = conn.execute("SELECT COUNT(*) FROM file_tags").fetchone()
+    cap = int(expected) + 1024  # slack for a concurrent commit; -4 => fallback
+    fid = np.empty(cap, dtype=np.int64)
+    tid = np.empty(cap, dtype=np.int64)
+    sc = np.empty(cap, dtype=np.float64)
+    n = fn(
+        str(path).encode(), cap,
+        fid.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        tid.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if n < 0:
+        logger.warning("native catalog fetch failed (rc=%d); using Python path", n)
+        return None
+    return fid[:n], tid[:n], sc[:n]
+
+
 def _fetch_file_tag_arrays(
     conn: sqlite3.Connection, where: str = "", params: Sequence = ()
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """file_tags -> (file_id, tag_id, score) arrays without per-row Python."""
+    # The side connection sees committed state only — stay on the Python
+    # path while the caller holds an open transaction (its own uncommitted
+    # writes must be visible to the build for consistency with the files/
+    # tags reads above it).
+    if not where and not conn.in_transaction:
+        native = _fetch_file_tag_arrays_native(conn)
+        if native is not None:
+            return native
     rows = _raw_cursor(conn).execute(
         f"SELECT file_id, tag_id, score FROM file_tags {where}", list(params)
     ).fetchall()
