@@ -533,6 +533,16 @@ def cmd_repl(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve search/complete/stats as a JSON API over the resident epoch."""
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.services.server import serve_forever
+
+    logging.basicConfig(level=logging.INFO)
+    serve_forever(db, args.host, args.port)
+    return 0
+
+
 def cmd_config(args) -> int:
     settings = load_settings(args.config)
     if args.init:
@@ -718,6 +728,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("repl", help="interactive query loop (resident epoch)")
     p.add_argument("--limit", type=int, default=20)
     p.set_defaults(fn=cmd_repl)
+
+    p = sub.add_parser("serve", help="HTTP JSON API over the resident epoch")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("config", help="show or init settings")
     p.add_argument("--init", action="store_true")

@@ -1,0 +1,213 @@
+"""HTTP serving mode: the resident-epoch query path behind a JSON API.
+
+The reference surfaces search/autocomplete/stats through a desktop UI
+(``src/ui/tags_*``); this engine is headless-first and production-serving is
+the analog surface: a long-lived process holds the epoch on device, every
+query is one compiled dispatch, and epoch swaps are atomic reference swaps
+(readers in flight keep the version they started with — the quiesce story at
+serving time).
+
+Stdlib-only (ThreadingHTTPServer).  Endpoints:
+
+- ``GET /healthz``              → liveness + epoch version/shape
+- ``GET /search?q=…&order=…&limit=…&offset=…``
+- ``GET /complete?prefix=…&limit=…``
+- ``GET /stats?like=…&category=…&limit=…``
+- ``POST /reload``              → full epoch rebuild + threshold reload
+- ``POST /delta`` (JSON ``{"changed_file_ids": [...]}``) → incremental swap
+
+Catalog reads (stats/complete) use one SQLite connection per server thread;
+the device path shares the process-wide compiled-program cache.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any
+from urllib.parse import parse_qs, urlparse
+
+from kobato_eyes_tpu.db.connection import bootstrap
+from kobato_eyes_tpu.db.repository import autocomplete_tags, load_tag_thresholds, tag_stats
+from kobato_eyes_tpu.query.engine import EpochManager, search_epoch
+
+logger = logging.getLogger(__name__)
+
+
+class QueryServer:
+    """Owns the epoch manager + per-thread catalog connections."""
+
+    def __init__(self, db_path: str | Path, *, default_limit: int = 50) -> None:
+        self._db_path = Path(db_path)
+        self._manager = EpochManager()
+        self._local = threading.local()
+        self._swap_lock = threading.Lock()  # one writer at a time
+        self._thresholds: dict[int, float] = {}
+        self.started_at = time.time()
+
+    def _conn(self):
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = bootstrap(self._db_path)
+            self._local.conn = conn
+        return conn
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def warm(self) -> None:
+        """Build the first epoch + load thresholds before serving."""
+        with self._swap_lock:
+            self._manager.rebuild(self._conn())
+            self._thresholds = load_tag_thresholds(self._conn())
+
+    def reload(self) -> dict[str, Any]:
+        with self._swap_lock:
+            epoch = self._manager.rebuild(self._conn())
+            self._thresholds = load_tag_thresholds(self._conn())
+        return {"epoch": epoch.version, "files": epoch.num_files, "tags": epoch.num_tags}
+
+    def delta(self, changed_file_ids: list[int]) -> dict[str, Any]:
+        with self._swap_lock:
+            epoch = self._manager.apply_delta(self._conn(), changed_file_ids)
+        return {"epoch": epoch.version, "files": epoch.num_files}
+
+    # -- queries (lock-free: epoch reference is grabbed once per request) ----
+
+    def health(self) -> dict[str, Any]:
+        epoch = self._manager.current
+        return {
+            "ok": epoch is not None,
+            "epoch": epoch.version if epoch else None,
+            "files": epoch.num_files if epoch else 0,
+            "tags": epoch.num_tags if epoch else 0,
+            "uptime_s": round(time.time() - self.started_at, 1),
+        }
+
+    def search(self, q: str, *, order: str, limit: int, offset: int) -> dict[str, Any]:
+        epoch = self._manager.current
+        if epoch is None:
+            raise RuntimeError("no epoch yet; POST /reload first")
+        t0 = time.perf_counter()
+        rows = search_epoch(
+            epoch, q, thresholds=self._thresholds,
+            order_by=order, limit=limit, offset=offset,
+        )
+        return {
+            "epoch": epoch.version,
+            "elapsed_ms": round((time.perf_counter() - t0) * 1e3, 2),
+            "results": [
+                {"file_id": r.file_id, "path": r.path, "relevance": r.relevance}
+                for r in rows
+            ],
+        }
+
+    def complete(self, prefix: str, *, limit: int) -> dict[str, Any]:
+        return {"completions": autocomplete_tags(self._conn(), prefix, limit=limit)}
+
+    def stats(self, *, like: str | None, category: int | None, limit: int) -> dict[str, Any]:
+        rows = tag_stats(
+            self._conn(), thresholds=self._thresholds,
+            name_like=like, category=category, limit=limit,
+        )
+        return {"stats": [dict(r) for r in rows]}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "ket-serve/1"
+    core: QueryServer  # set via the server factory
+
+    # Failure policy: a bad request or query error answers 4xx/5xx JSON and
+    # never takes the process down (per-request isolation).
+    def _reply(self, status: int, payload: dict[str, Any]) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt: str, *args: Any) -> None:  # route to logging
+        logger.debug("http %s", fmt % args)
+
+    def do_GET(self) -> None:  # noqa: N802 — http.server API
+        url = urlparse(self.path)
+        qs = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path == "/healthz":
+                self._reply(200, self.core.health())
+            elif url.path == "/search":
+                self._reply(200, self.core.search(
+                    qs.get("q", ""),
+                    order=qs.get("order", "relevance"),
+                    limit=int(qs.get("limit", 50)),
+                    offset=int(qs.get("offset", 0)),
+                ))
+            elif url.path == "/complete":
+                self._reply(200, self.core.complete(
+                    qs.get("prefix", ""), limit=int(qs.get("limit", 20))
+                ))
+            elif url.path == "/stats":
+                cat = qs.get("category")
+                self._reply(200, self.core.stats(
+                    like=qs.get("like"),
+                    category=int(cat) if cat is not None else None,
+                    limit=int(qs.get("limit", 100)),
+                ))
+            else:
+                self._reply(404, {"error": "unknown endpoint"})
+        except ValueError as exc:  # query parse errors and bad params
+            self._reply(400, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001
+            logger.exception("request failed: %s", self.path)
+            self._reply(500, {"error": str(exc)})
+
+    def do_POST(self) -> None:  # noqa: N802
+        url = urlparse(self.path)
+        try:
+            if url.path == "/reload":
+                self._reply(200, self.core.reload())
+            elif url.path == "/delta":
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                ids = payload.get("changed_file_ids", [])
+                if not isinstance(ids, list):
+                    raise ValueError("changed_file_ids must be a list")
+                self._reply(200, self.core.delta([int(i) for i in ids]))
+            else:
+                self._reply(404, {"error": "unknown endpoint"})
+        except (ValueError, json.JSONDecodeError) as exc:
+            self._reply(400, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001
+            logger.exception("request failed: %s", self.path)
+            self._reply(500, {"error": str(exc)})
+
+
+def make_server(
+    db_path: str | Path, host: str = "127.0.0.1", port: int = 0, *, warm: bool = True
+) -> tuple[ThreadingHTTPServer, QueryServer]:
+    """Build (but don't run) the HTTP server; port 0 picks a free port."""
+    core = QueryServer(db_path)
+    if warm:
+        core.warm()
+    handler = type("BoundHandler", (_Handler,), {"core": core})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    return httpd, core
+
+
+def serve_forever(db_path: str | Path, host: str, port: int) -> None:
+    httpd, core = make_server(db_path, host, port)
+    health = core.health()
+    logger.info(
+        "serving on http://%s:%d  epoch v%s (%d files, %d tags)",
+        *httpd.server_address, health["epoch"], health["files"], health["tags"],
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

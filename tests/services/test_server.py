@@ -1,0 +1,97 @@
+"""HTTP serving mode: resident-epoch queries behind the JSON API."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+from kobato_eyes_tpu.db.repository import TaggingItem, upsert_file, write_tagging_batch
+from kobato_eyes_tpu.services.server import make_server
+
+
+@pytest.fixture
+def server(tmp_path):
+    reset_bootstrap_cache()
+    db = tmp_path / "s.sqlite"
+    conn = bootstrap(db)
+    fids = []
+    for i in range(40):
+        fid = upsert_file(conn, path=f"/s/{i:03d}.png", mtime=1e9 + i)
+        tags = [("girl", 0.9, 0)] if i % 2 == 0 else [("cat", 0.6, 0)]
+        write_tagging_batch(conn, [TaggingItem(fid, tags)])
+        fids.append(fid)
+    conn.close()
+    httpd, core = make_server(db)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    host, port = httpd.server_address
+    yield f"http://{host}:{port}", db, fids
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _get(url: str) -> dict:
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def _post(url: str, payload: dict | None = None) -> dict:
+    data = json.dumps(payload or {}).encode()
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def test_health_and_search(server):
+    base, _, _ = server
+    health = _get(f"{base}/healthz")
+    assert health["ok"] and health["files"] == 40
+    out = _get(f"{base}/search?q=girl&order=id&limit=100")
+    assert len(out["results"]) == 20
+    assert out["elapsed_ms"] >= 0
+    out = _get(f"{base}/search?q=girl%20OR%20cat&order=id&limit=100")
+    assert len(out["results"]) == 40
+
+
+def test_complete_and_stats(server):
+    base, _, _ = server
+    comp = _get(f"{base}/complete?prefix=gi")
+    assert comp["completions"][0][0] == "girl"
+    stats = _get(f"{base}/stats?like=girl")
+    assert stats["stats"][0]["name"] == "girl"
+    assert stats["stats"][0]["file_count"] == 20
+
+
+def test_bad_query_is_400_not_fatal(server):
+    base, _, _ = server
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(f"{base}/search?q=girl%20OR")  # dangling operator
+    assert err.value.code == 400
+    # server still alive
+    assert _get(f"{base}/healthz")["ok"]
+
+
+def test_delta_and_reload_swap_epochs(server):
+    base, db, fids = server
+    v0 = _get(f"{base}/healthz")["epoch"]
+    conn = bootstrap(db)
+    write_tagging_batch(conn, [TaggingItem(fids[0], [("dog", 0.7, 0)])])
+    conn.close()
+    out = _post(f"{base}/delta", {"changed_file_ids": [fids[0]]})
+    assert out["epoch"] == v0 + 1
+    hits = _get(f"{base}/search?q=dog&order=id")
+    assert [r["file_id"] for r in hits["results"]] == [fids[0]]
+    out = _post(f"{base}/reload")
+    assert out["epoch"] == v0 + 2
+    assert len(_get(f"{base}/search?q=dog&order=id")["results"]) == 1
+
+
+def test_unknown_endpoint_404(server):
+    base, _, _ = server
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(f"{base}/nope")
+    assert err.value.code == 404
