@@ -19,7 +19,7 @@ from kobato_eyes_tpu.dup.types import (
     DuplicateFileMeta,
     DuplicateScanConfig,
     NodeColumnCache,
-    assemble_clusters,
+    assemble_clusters_indexed,
 )
 from kobato_eyes_tpu.ops.hamming import BandedHammingScanner
 from kobato_eyes_tpu.utils.bits import U64_MASK
@@ -69,11 +69,10 @@ class TpuDuplicateScanner:
         )
         ids, unique, ei, ej, dists = self._scan_edges(list(files), scan_cfg)
         out: dict[int, list[DuplicateCluster]] = {}
-        files_by_id = dict(zip(ids.tolist(), unique)) if len(unique) else {}
         for t in thresholds:
             keep = dists <= t
-            out[t] = assemble_clusters(
-                files_by_id, (ids[ei[keep]], ids[ej[keep]], dists[keep]),
+            out[t] = assemble_clusters_indexed(
+                unique, ids, (ei[keep], ej[keep], dists[keep]),
                 key_cache=self._key_cache, column_cache=self._column_cache,
             ) if len(unique) >= 2 else []
         return out
@@ -88,10 +87,9 @@ class TpuDuplicateScanner:
         from kobato_eyes_tpu.utils.metrics import metrics
 
         with metrics.timer("dup.assemble"):
-            files_by_id = dict(zip(ids.tolist(), unique))
-            # array fast path into the vectorized assembly (no per-edge tuples)
-            clusters = assemble_clusters(
-                files_by_id, (ids[ei], ids[ej], dists),
+            # index-space fast path: no id->meta dict, no id-sort node discovery
+            clusters = assemble_clusters_indexed(
+                unique, ids, (ei, ej, dists),
                 key_cache=self._key_cache, column_cache=self._column_cache,
             )
         logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)

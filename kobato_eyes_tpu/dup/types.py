@@ -130,7 +130,10 @@ class NodeColumnCache:
     mutated meta falls back to the exact per-node path.
     """
 
-    __slots__ = ("fids", "metas", "sizes", "res", "extpri", "pathlow", "namelow", "suffix")
+    __slots__ = (
+        "fids", "metas", "sizes", "res", "extpri", "pathlow", "namelow",
+        "suffix", "path_r", "name_r", "suffix_r",
+    )
 
     def __init__(self) -> None:
         import numpy as np
@@ -143,6 +146,11 @@ class NodeColumnCache:
         self.pathlow = np.empty(0, dtype="U1")
         self.namelow = np.empty(0, dtype="U1")
         self.suffix = np.empty(0, dtype="U1")
+        # order-isomorphic integer ranks of the string columns (recomputed on
+        # store over the whole axis): warm-scan lexsorts stay integer-only
+        self.path_r = np.empty(0, dtype=np.int64)
+        self.name_r = np.empty(0, dtype=np.int64)
+        self.suffix_r = np.empty(0, dtype=np.int64)
 
     def lookup(self, nodes, metas) -> tuple | None:
         import numpy as np
@@ -157,7 +165,7 @@ class NodeColumnCache:
             return None
         return (
             self.sizes[pos], self.res[pos], self.extpri[pos],
-            self.pathlow[pos], self.namelow[pos], self.suffix[pos],
+            self.path_r[pos], self.name_r[pos], self.suffix_r[pos],
         )
 
     def store(self, nodes, metas, sizes, res, extpri, pathlow, namelow, suffix) -> None:
@@ -187,6 +195,72 @@ class NodeColumnCache:
             self.fids = nodes.copy()
             (self.metas, self.sizes, self.res, self.extpri,
              self.pathlow, self.namelow, self.suffix) = cols_new
+        self.path_r = np.unique(self.pathlow, return_inverse=True)[1]
+        self.name_r = np.unique(self.namelow, return_inverse=True)[1]
+        self.suffix_r = np.unique(self.suffix, return_inverse=True)[1]
+
+
+def _components_and_best_h(ia, ib, eh, k: int, m: int):
+    """Connected components + per-node best (minimum) hamming, in node space."""
+    import numpy as np
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    graph = coo_matrix((np.ones(m, dtype=np.int8), (ia, ib)), shape=(k, k))
+    _, labels = connected_components(graph, directed=False)
+
+    big = np.iinfo(np.int64).max
+    best_h = np.full(k, big, dtype=np.int64)
+    has_h = eh >= 0
+    np.minimum.at(best_h, ia[has_h], eh[has_h])
+    np.minimum.at(best_h, ib[has_h], eh[has_h])
+    return labels, best_h, big
+
+
+def assemble_clusters_indexed(
+    files: Sequence[DuplicateFileMeta],
+    ids: "np.ndarray",
+    edges_idx: tuple["np.ndarray", "np.ndarray", "np.ndarray"],
+    *,
+    key_cache: dict[int, tuple[object, str, str, str, int]] | None = None,
+    column_cache: NodeColumnCache | None = None,
+) -> list[DuplicateCluster]:
+    """Index-space assembly: edges are positions into ``files``/``ids``.
+
+    Same result as :func:`assemble_clusters` (which is itself spec-tested
+    against :func:`assemble_clusters_py`), without the 70k-entry
+    id->meta dict and the int64 sort inside np.unique — node discovery is a
+    boolean mask over the index space.  This is the engine's hot entry.
+    """
+    import numpy as np
+
+    from kobato_eyes_tpu.utils.metrics import metrics
+
+    ei, ej, eh = edges_idx
+    m = len(ei)
+    if m == 0:
+        return []
+
+    _t_graph = metrics.timer("dup.assemble.graph"); _t_graph.__enter__()
+    n = len(ids)
+    present = np.zeros(n, dtype=bool)
+    present[ei] = True
+    present[ej] = True
+    nodes_idx = np.flatnonzero(present)
+    k = len(nodes_idx)
+    remap = np.empty(n, dtype=np.int64)
+    remap[nodes_idx] = np.arange(k, dtype=np.int64)
+    ia, ib = remap[ei], remap[ej]
+    nodes = ids[nodes_idx]
+    eh = np.asarray(eh, dtype=np.int64)
+    labels, best_h, big = _components_and_best_h(ia, ib, eh, k, m)
+    _t_graph.__exit__(None, None, None)
+
+    metas = [files[i] for i in nodes_idx.tolist()]
+    return _assemble_tail(
+        nodes, labels, best_h, big, metas, k,
+        key_cache=key_cache, column_cache=column_cache,
+    )
 
 
 def assemble_clusters(
@@ -226,20 +300,9 @@ def assemble_clusters(
     ia, ib = inverse[:m], inverse[m:]
     k = len(nodes)
 
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
-
-    graph = coo_matrix((np.ones(m, dtype=np.int8), (ia, ib)), shape=(k, k))
-    _, labels = connected_components(graph, directed=False)
-
-    big = np.iinfo(np.int64).max
-    best_h = np.full(k, big, dtype=np.int64)
-    has_h = eh >= 0
-    np.minimum.at(best_h, ia[has_h], eh[has_h])
-    np.minimum.at(best_h, ib[has_h], eh[has_h])
+    labels, best_h, big = _components_and_best_h(ia, ib, eh, k, m)
 
     _t_graph.__exit__(None, None, None)
-    _t_cols = metrics.timer("dup.assemble.columns"); _t_cols.__enter__()
     metas = list(map(files_by_id.get, nodes.tolist()))
     if None in metas:
         present = np.array([mt is not None for mt in metas])
@@ -249,10 +312,32 @@ def assemble_clusters(
         k = len(nodes)
     if k == 0:
         return []
+    return _assemble_tail(
+        nodes, labels, best_h, big, metas, k,
+        key_cache=key_cache, column_cache=column_cache,
+    )
 
+
+def _assemble_tail(
+    nodes: "np.ndarray",
+    labels: "np.ndarray",
+    best_h: "np.ndarray",
+    big: int,
+    metas: list[DuplicateFileMeta],
+    k: int,
+    *,
+    key_cache: dict[int, tuple[object, str, str, str, int]] | None,
+    column_cache: NodeColumnCache | None,
+) -> list[DuplicateCluster]:
+    """Columns -> ordering -> object burst (shared by both entry points)."""
+    import numpy as np
+
+    from kobato_eyes_tpu.utils.metrics import metrics
+
+    _t_cols = metrics.timer("dup.assemble.columns"); _t_cols.__enter__()
     cols = column_cache.lookup(nodes, metas) if column_cache is not None else None
     if cols is not None:
-        sizes, res, extpri, pathlow, namelow, suffix = cols
+        sizes, res, extpri, path_r, name_r, suffix_r = cols
     else:
         sizes = np.fromiter(((mt.size or 0) for mt in metas), dtype=np.int64, count=k)
         res = np.fromiter((mt.resolution for mt in metas), dtype=np.int64, count=k)
@@ -291,6 +376,10 @@ def assemble_clusters(
         extpri = extpri_np
         if column_cache is not None:
             column_cache.store(nodes, metas, sizes, res, extpri, pathlow, namelow, suffix)
+        # rank the strings once; every lexsort below is then integer-only
+        path_r = np.unique(pathlow, return_inverse=True)[1]
+        name_r = np.unique(namelow, return_inverse=True)[1]
+        suffix_r = np.unique(suffix, return_inverse=True)[1]
 
     _t_cols.__exit__(None, None, None)
     _t_sort = metrics.timer("dup.assemble.sort"); _t_sort.__enter__()
@@ -302,14 +391,14 @@ def assemble_clusters(
         nodes, labels, best_h = nodes[idx], labels[idx], best_h[idx]
         metas = [metas[i] for i in idx]
         sizes, res, extpri = sizes[idx], res[idx], extpri[idx]
-        suffix, namelow, pathlow = suffix[idx], namelow[idx], pathlow[idx]
+        suffix_r, name_r, path_r = suffix_r[idx], name_r[idx], path_r[idx]
         k = len(nodes)
     if k == 0:
         return []
 
     # keeper per cluster: global lexsort by keeper_key within label
     # (keys listed last-to-first for np.lexsort)
-    keeper_order = np.lexsort((nodes, namelow, suffix, -extpri, -res, -sizes, labels))
+    keeper_order = np.lexsort((nodes, name_r, suffix_r, -extpri, -res, -sizes, labels))
     first_of_label = np.ones(k, dtype=bool)
     sorted_labels = labels[keeper_order]
     first_of_label[1:] = sorted_labels[1:] != sorted_labels[:-1]
@@ -319,7 +408,7 @@ def assemble_clusters(
     is_keeper = (nodes == keeper_node_by_label[labels]).astype(np.int64)
 
     # member ordering within clusters (entry_sort_key)
-    entry_order = np.lexsort((nodes, namelow, -extpri, -res, -sizes, 1 - is_keeper, labels))
+    entry_order = np.lexsort((nodes, name_r, -extpri, -res, -sizes, 1 - is_keeper, labels))
     ordered_labels = labels[entry_order]
     boundaries = np.nonzero(np.diff(ordered_labels))[0] + 1
     starts = np.concatenate([[0], boundaries])
@@ -334,7 +423,7 @@ def assemble_clusters(
     # (cluster_sort_key = (-max member size, keeper path)), then objects are
     # built directly in final order with C-level map/zip passes
     first_rows = entry_order[starts]
-    c_order = np.lexsort((pathlow[first_rows], -maxsz_by_label[labels[first_rows]]))
+    c_order = np.lexsort((path_r[first_rows], -maxsz_by_label[labels[first_rows]]))
 
     _t_sort.__exit__(None, None, None)
     _t_build = metrics.timer("dup.assemble.build"); _t_build.__enter__()
