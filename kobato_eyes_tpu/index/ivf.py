@@ -3,8 +3,9 @@
 Pure-matmul ANN — the natural TPU structure (BASELINE.json north star lists
 IVF-flat with TPU distance matmuls).  Build: Lloyd iterations entirely on
 device (assignment matmul + segment-sum centroid update).  Search: one
-(Q, K) centroid matmul -> top-nprobe lists -> gather padded list members ->
-(Q, nprobe*pad) exact similarity -> top-k.  All static shapes.
+(Q, K) centroid matmul -> top-nprobe lists -> ONE dense (Q, N) corpus
+matmul masked to the probed lists -> top-k.  All static shapes, no gathers
+on the hot path (see _ivf_search_kernel for why).
 """
 
 from __future__ import annotations
@@ -52,23 +53,30 @@ def kmeans(
 @partial(jax.jit, static_argnames=("nprobe", "k"))
 def _ivf_search_kernel(
     queries: jnp.ndarray,  # (Q, D) unit vectors
-    centroids: jnp.ndarray,  # (K, D)
-    members: jnp.ndarray,  # (K, pad) int32 vector rows, -1 padded
+    centroids: jnp.ndarray,  # (L, D) one row per (possibly replica) list
+    assign_list: jnp.ndarray,  # (N,) int32 list id of each corpus row
     corpus: jnp.ndarray,  # (N, D)
     *,
     nprobe: int,
     k: int,
 ):
+    """Probe top-nprobe lists, then ONE (Q, N) corpus matmul masked to them.
+
+    TPU-shaped IVF: the per-list gather formulation materializes a
+    (Q, nprobe*pad, D) intermediate from HBM (multi-GB at 100k x 512 and
+    query batches), while the MXU streams the whole corpus through a dense
+    matmul in milliseconds — so eligibility (only probed lists compete, the
+    defining IVF semantic) is applied as a mask on the full score matrix.
+    """
     cs = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cs, nprobe)  # (Q, nprobe)
-    cand = members[probe].reshape(queries.shape[0], -1)  # (Q, nprobe*pad)
-    valid = cand >= 0
-    cand_c = jnp.maximum(cand, 0)
-    vecs = corpus[cand_c]  # (Q, C, D)
-    sims = jnp.einsum("qd,qcd->qc", queries, vecs, preferred_element_type=jnp.float32)
-    sims = jnp.where(valid, sims, -jnp.inf)
-    top_s, top_i = jax.lax.top_k(sims, k)
-    rows = jnp.take_along_axis(cand, top_i, axis=1)
+    nq = queries.shape[0]
+    allowed = jnp.zeros((nq, centroids.shape[0]), dtype=bool)
+    allowed = allowed.at[jnp.arange(nq)[:, None], probe].set(True)
+    scores = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    scores = jnp.where(allowed[:, assign_list], scores, -jnp.inf)  # (Q, N)
+    top_s, rows = jax.lax.top_k(scores, k)
+    rows = jnp.where(jnp.isfinite(top_s), rows, -1)
     return top_s, rows
 
 
@@ -129,9 +137,16 @@ class IvfFlatIndex:
                 n_split, pad, n_lists,
             )
 
+        # row -> list id (replica-aware; every row is in exactly one list)
+        assign_list = np.empty(n, dtype=np.int32)
+        for li_, row_chunk in enumerate(members):
+            valid_rows = row_chunk[row_chunk >= 0]
+            assign_list[valid_rows] = li_
+
         self.n_lists = n_lists
         self._centroids = jnp.asarray(centroids[list_cluster])
         self._members = jnp.asarray(members)
+        self._assign_list = jnp.asarray(assign_list)
         self._corpus = jnp.asarray(vecs)
         self.dim = vecs.shape[1]
 
@@ -146,7 +161,7 @@ class IvfFlatIndex:
         nprobe = min(nprobe, self.n_lists)
         k = min(k, len(self))
         scores, rows = _ivf_search_kernel(
-            jnp.asarray(q), self._centroids, self._members, self._corpus,
+            jnp.asarray(q), self._centroids, self._assign_list, self._corpus,
             nprobe=nprobe, k=k,
         )
         rows = np.asarray(rows)

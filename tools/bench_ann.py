@@ -59,7 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     flat = FlatIndex(vecs)
     flat_build = time.perf_counter() - t0
-    flat.search(queries[:8], k=args.k)  # warmup/compile
+    # warmup at the FULL query shape: jit programs are per-shape, so a
+    # small-batch warmup would leave the timed run paying the compile
+    flat.search(queries, k=args.k)
     t0 = time.perf_counter()
     _, exact_ids = flat.search(queries, k=args.k)
     flat_query_s = time.perf_counter() - t0
@@ -68,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     ivf = IvfFlatIndex(vecs, n_clusters=int(np.sqrt(args.n) * 2))
     ivf_build = time.perf_counter() - t0
-    ivf.search(queries[:8], k=args.k, nprobe=args.nprobe)
+    ivf.search(queries, k=args.k, nprobe=args.nprobe)  # warmup, full shape
     t0 = time.perf_counter()
     _, ivf_ids = ivf.search(queries, k=args.k, nprobe=args.nprobe)
     ivf_query_s = time.perf_counter() - t0
