@@ -76,6 +76,7 @@ class JaxTagger:
         tag_map_path: str | Path | None = None,
         seed: int = 0,
         mesh: Any = None,
+        bf16_params: bool = False,
     ) -> None:
         if labels is None and labels_path is not None:
             labels = load_labels(labels_path)
@@ -132,6 +133,7 @@ class JaxTagger:
             self.cats, self.thresholds, score_floor=self.score_floor
         )
         self._cat_vec_dev = jnp.asarray(self.cats)
+        self._thr_dev_cache: tuple[int, Any] | None = None
 
         if self.arch == "swinv2":
             from kobato_eyes_tpu.models.swin import SwinV2, init_swin_params
@@ -152,6 +154,23 @@ class JaxTagger:
                 self.mode, len(self.labels), self.arch, preset,
             )
             self.params = _init(self.cfg, seed=seed)
+
+        # Inference-only bf16 weights: params live in bf16 and the module's
+        # param_dtype matches, so the compiled forward carries no per-layer
+        # f32->bf16 weight-cast fusions (measured ~15% of the on-device time
+        # for ViT-B/448) and weight HBM traffic halves.  Off by default —
+        # golden-parity tests and training load f32.
+        if bf16_params:
+            import dataclasses as _dc
+
+            self.cfg = _dc.replace(self.cfg, param_dtype=jnp.bfloat16)
+            self._model = type(self._model)(self.cfg)
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.params,
+            )
 
         # Multi-chip: partition params over the mesh (tensor-parallel rules
         # from parallel/mesh.py, replicated elsewhere); batches get sharded
@@ -258,6 +277,30 @@ class JaxTagger:
         )
         return results
 
+    def _thr_dev(self, thr_vec: np.ndarray) -> jnp.ndarray:
+        """Device copy of the threshold vector, cached by array identity —
+        the default vector would otherwise re-upload (one relay round trip)
+        every batch."""
+        key = id(thr_vec)
+        if self._thr_dev_cache is None or self._thr_dev_cache[0] != key:
+            self._thr_dev_cache = (key, jnp.asarray(thr_vec))
+        return self._thr_dev_cache[1]
+
+    # The select is split device/host so many batches can share ONE sync
+    # (infer_batches_prepared): through a relay each fetch is its own round
+    # trip — a fused device_get was measured 3x faster than per-array
+    # np.asarray even for a single batch.
+
+    def _select_device(self, probs: jnp.ndarray, thr_vec: np.ndarray, limits) -> tuple:
+        return topk_hits(probs, self._thr_dev(thr_vec), k=min(self.topk_cap, probs.shape[1]))
+
+    def _select_host(self, fetched: tuple, limits, thresholds: ThresholdMap | None) -> list[TagResult]:
+        scores, idx, hits = fetched
+        return select_wd14(
+            scores, idx, hits,
+            cats=self.cats, names=self.names, limits=limits, hard_cap=self.topk_cap,
+        )
+
     def _select(
         self,
         probs: jnp.ndarray,
@@ -265,11 +308,39 @@ class JaxTagger:
         limits: dict[int, int | None],
         thresholds: ThresholdMap | None,
     ) -> list[TagResult]:
-        scores, idx, hits = topk_hits(probs, jnp.asarray(thr_vec), k=min(self.topk_cap, probs.shape[1]))
-        return select_wd14(
-            np.asarray(scores), np.asarray(idx), np.asarray(hits),
-            cats=self.cats, names=self.names, limits=limits, hard_cap=self.topk_cap,
+        fetched = jax.device_get(self._select_device(probs, thr_vec, limits))
+        return self._select_host(fetched, limits, thresholds)
+
+    def infer_batches_prepared(
+        self,
+        batches: Sequence[np.ndarray],
+        *,
+        thresholds: ThresholdMap | None = None,
+        max_tags: MaxTagsMap | None = None,
+    ) -> list[list[TagResult]]:
+        """Drain-style inference: dispatch every batch, sync ONCE.
+
+        The serving throughput path: forwards and top-k selections for all
+        batches are queued asynchronously, then a single device_get fetches
+        every (small) result tensor in one host<->device round trip — per-
+        batch sync latency does not accumulate (it dominates end-to-end
+        time behind a high-latency relay).
+        """
+        thr_vec = (
+            self._thr_vec_np
+            if thresholds is None
+            else build_threshold_vector(
+                self.cats,
+                {**self.thresholds, **{int(k): float(v) for k, v in thresholds.items()}},
+                score_floor=self.score_floor,
+            )
         )
+        limits = resolve_limits(self.max_tags, max_tags)
+        pending = [
+            self._select_device(self.forward_probs(b), thr_vec, limits) for b in batches
+        ]
+        fetched = jax.device_get(pending)
+        return [self._select_host(f, limits, thresholds) for f in fetched]
 
     def infer_batch(
         self,
@@ -298,13 +369,7 @@ class PixaiTagger(JaxTagger):
     default_thresholds = PIXAI_DEFAULT_THRESHOLDS
     default_max_tags = dict(PIXAI_DEFAULT_MAX_TAGS)
 
-    def _select(
-        self,
-        probs: jnp.ndarray,
-        thr_vec: np.ndarray,
-        limits: dict[int, int | None],
-        thresholds: ThresholdMap | None,
-    ) -> list[TagResult]:
+    def _select_device(self, probs: jnp.ndarray, thr_vec: np.ndarray, limits) -> tuple:
         present = sorted(set(int(c) for c in np.unique(self.cats)))
         caps = []
         for cat in present:
@@ -312,16 +377,22 @@ class PixaiTagger(JaxTagger):
             cap = self.topk_cap if limit is None else min(max(0, int(limit)), self.topk_cap)
             if cap > 0:
                 caps.append((cat, cap))
-        scores, idx = topk_hits_by_category(
-            probs, jnp.asarray(thr_vec), self._cat_vec_dev, caps=tuple(caps)
+        scores_d, idx_d = topk_hits_by_category(
+            probs, self._thr_dev(thr_vec), self._cat_vec_dev, caps=tuple(caps)
         )
+        # Full prob rows only needed when some candidate has ips links.
+        if any(m.ips for m in self.labels):
+            return (scores_d, idx_d, probs)
+        return (scores_d, idx_d)
+
+    def _select_host(self, fetched: tuple, limits, thresholds: ThresholdMap | None) -> list[TagResult]:
+        scores, idx, *rest = fetched
+        probs_np = rest[0] if rest else None
         eff_thresholds = dict(self.thresholds)
         if thresholds:
             eff_thresholds.update({int(k): float(v) for k, v in thresholds.items()})
-        # Full prob rows only needed when some candidate has ips links.
-        probs_np = np.asarray(probs) if any(m.ips for m in self.labels) else None
         return select_pixai(
-            np.asarray(scores), np.asarray(idx), probs_np,
+            scores, idx, probs_np,
             cats=self.cats, names=self.names, limits=limits, hard_cap=self.topk_cap,
             cat_thresholds=eff_thresholds, score_floor=self.score_floor,
             tag_meta=self._tag_meta, name_to_idx=self._name_to_idx,

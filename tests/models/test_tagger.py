@@ -73,3 +73,33 @@ def test_dummy_tagger():
     assert len(out) == 2
     assert out[0].tags[0].name == "1girl"
     assert out[0].tags[0].score == pytest.approx(0.9)
+
+
+def test_infer_batches_prepared_matches_per_batch():
+    """Drain-style inference (one sync for all batches) == per-batch path."""
+    import numpy as np
+
+    from kobato_eyes_tpu.models.labels import synthetic_labels
+    from kobato_eyes_tpu.models.tagger import PixaiTagger, WD14Tagger
+    from kobato_eyes_tpu.models.vit import vit_config
+
+    rng = np.random.default_rng(5)
+    for cls, labels in ((WD14Tagger, 96), (PixaiTagger, 96)):
+        tagger = cls(
+            labels=synthetic_labels(labels),
+            vit=vit_config("tiny", image_size=64, patch_size=16, num_classes=labels),
+            image_size=64,
+        )
+        batches = [
+            rng.integers(0, 256, (4, 64, 64, 3), np.uint8) for _ in range(3)
+        ]
+        prepared = [tagger.prepare_batch_from_rgb(list(b)) for b in batches]
+        drained = tagger.infer_batches_prepared(prepared)
+        single = [tagger.infer_batch_prepared(p) for p in prepared]
+        assert len(drained) == len(single) == 3
+        for a, b in zip(drained, single):
+            assert [
+                [(t.name, round(t.score, 6)) for t in img.tags] for img in a
+            ] == [
+                [(t.name, round(t.score, 6)) for t in img.tags] for img in b
+            ]

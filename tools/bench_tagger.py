@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--image-size", type=int, default=448)
     parser.add_argument("--warmup-batches", type=int, default=1)
     parser.add_argument(
+        "--bf16-params", action="store_true",
+        help="inference-only bf16 weights (no per-layer cast fusions)",
+    )
+    parser.add_argument(
         "--profile",
         metavar="DIR",
         help="capture a jax.profiler device trace of the timed loop into DIR",
@@ -61,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
         labels=synthetic_labels(args.labels),
         vit=vit_config(args.preset, image_size=args.image_size, num_classes=args.labels),
         image_size=args.image_size,
+        bf16_params=args.bf16_params,
     )
 
     # ---- inputs: fixed order (reference bench uses deterministic selection)
@@ -113,12 +118,9 @@ def main(argv: list[str] | None = None) -> int:
     timed = batches[args.warmup_batches :] or batches
     with device_trace(args.profile):
         t0 = time.perf_counter()
-        probs_list = [tagger.forward_probs(b) for b in timed]
-        total_imgs = 0
-        for b, probs in zip(timed, probs_list):
-            results = tagger._select(probs, thr, dict(tagger.max_tags), None)
-            total_imgs += len(results)
+        all_results = tagger.infer_batches_prepared(timed)
         elapsed = time.perf_counter() - t0
+    total_imgs = sum(len(r) for r in all_results)
     imgs_per_s = total_imgs / elapsed if elapsed > 0 else 0.0
 
     # -- roofline: analytic forward FLOPs (XLA cost_analysis counts the
