@@ -31,11 +31,15 @@ def test_unpadded_keeps_everything(rng):
     assert (ids[:, 0] == np.arange(8)).all()  # self-query with full probing
 
 
-def test_ivf_overflow_splitting_keeps_recall(rng):
+def test_ivf_overflow_splitting_keeps_recall():
     """Adversarially skewed clusters with a small max_list_pad must not drop
     vectors: oversized lists split into replicas, and with enough probes
     recall matches the unpadded index."""
     import numpy as np
+
+    # local generator: the session-scoped rng fixture's state depends on
+    # suite order, and this test's recall bounds are calibrated to the data
+    rng = np.random.default_rng(7)
 
     from kobato_eyes_tpu.index.flat import FlatIndex
     from kobato_eyes_tpu.index.ivf import IvfFlatIndex, recall_at_k
