@@ -95,3 +95,53 @@ def test_unknown_endpoint_404(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         _get(f"{base}/nope")
     assert err.value.code == 404
+
+
+@pytest.mark.stress
+def test_concurrent_searches_during_epoch_swaps(server):
+    """Readers in flight keep their epoch; swaps never produce torn reads.
+
+    Hammers /search from several threads while /reload and /delta swap
+    epochs underneath — every response must be internally consistent (a
+    valid epoch version and a result set that matches either the old or the
+    new state, never a mix) and no request may error."""
+    import threading
+
+    base, db, fids = server
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                out = _get(f"{base}/search?q=girl%20OR%20cat%20OR%20dog&order=id&limit=100")
+                n = len(out["results"])
+                # old state: 40 files tagged girl/cat; after the delta the
+                # retagged file answers dog instead — total always 40
+                if n != 40:
+                    errors.append(f"torn read: {n} results at epoch {out['epoch']}")
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+
+    threads = [threading.Thread(target=searcher) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        conn = bootstrap(db)
+        for i in range(6):
+            write_tagging_batch(
+                conn, [TaggingItem(fids[i], [("dog", 0.7, 0)])]
+            )
+            conn.commit()
+            if i % 2 == 0:
+                _post(f"{base}/delta", {"changed_file_ids": [fids[i]]})
+            else:
+                _post(f"{base}/reload")
+        conn.close()
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(30)
+    assert not errors, errors[:5]
+    final = _get(f"{base}/search?q=dog&order=id&limit=100")
+    assert len(final["results"]) == 6
