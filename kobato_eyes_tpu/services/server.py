@@ -16,8 +16,10 @@ Stdlib-only (ThreadingHTTPServer).  Endpoints:
 - ``POST /reload``              → full epoch rebuild + threshold reload
 - ``POST /delta`` (JSON ``{"changed_file_ids": [...]}``) → incremental swap
 
-Catalog reads (stats/complete) use one SQLite connection per server thread;
-the device path shares the process-wide compiled-program cache.
+Catalog reads (stats/complete) share ONE lock-guarded SQLite connection
+(ThreadingHTTPServer runs a thread per request, so per-thread connections
+would leak a handle per request); the device query path never takes that
+lock and shares the process-wide compiled-program cache.
 """
 
 from __future__ import annotations
@@ -39,39 +41,42 @@ logger = logging.getLogger(__name__)
 
 
 class QueryServer:
-    """Owns the epoch manager + per-thread catalog connections."""
+    """Owns the epoch manager + the shared catalog connection."""
 
     def __init__(self, db_path: str | Path, *, default_limit: int = 50) -> None:
         self._db_path = Path(db_path)
         self._manager = EpochManager()
-        self._local = threading.local()
         self._swap_lock = threading.Lock()  # one writer at a time
+        # ONE shared catalog connection behind a lock: ThreadingHTTPServer
+        # spawns a thread per request, so thread-local connections would
+        # open (and leak until GC) one sqlite handle per request.  Catalog
+        # reads are short; the device query path never takes this lock.
+        self._conn_lock = threading.Lock()
+        self._shared_conn = None
         self._thresholds: dict[int, float] = {}
         self.started_at = time.time()
 
     def _conn(self):
-        conn = getattr(self._local, "conn", None)
-        if conn is None:
-            conn = bootstrap(self._db_path)
-            self._local.conn = conn
-        return conn
+        if self._shared_conn is None:
+            self._shared_conn = bootstrap(self._db_path)
+        return self._shared_conn
 
     # -- lifecycle ----------------------------------------------------------
 
     def warm(self) -> None:
         """Build the first epoch + load thresholds before serving."""
-        with self._swap_lock:
+        with self._swap_lock, self._conn_lock:
             self._manager.rebuild(self._conn())
             self._thresholds = load_tag_thresholds(self._conn())
 
     def reload(self) -> dict[str, Any]:
-        with self._swap_lock:
+        with self._swap_lock, self._conn_lock:
             epoch = self._manager.rebuild(self._conn())
             self._thresholds = load_tag_thresholds(self._conn())
         return {"epoch": epoch.version, "files": epoch.num_files, "tags": epoch.num_tags}
 
     def delta(self, changed_file_ids: list[int]) -> dict[str, Any]:
-        with self._swap_lock:
+        with self._swap_lock, self._conn_lock:
             epoch = self._manager.apply_delta(self._conn(), changed_file_ids)
         return {"epoch": epoch.version, "files": epoch.num_files}
 
@@ -106,13 +111,15 @@ class QueryServer:
         }
 
     def complete(self, prefix: str, *, limit: int) -> dict[str, Any]:
-        return {"completions": autocomplete_tags(self._conn(), prefix, limit=limit)}
+        with self._conn_lock:
+            return {"completions": autocomplete_tags(self._conn(), prefix, limit=limit)}
 
     def stats(self, *, like: str | None, category: int | None, limit: int) -> dict[str, Any]:
-        rows = tag_stats(
-            self._conn(), thresholds=self._thresholds,
-            name_like=like, category=category, limit=limit,
-        )
+        with self._conn_lock:
+            rows = tag_stats(
+                self._conn(), thresholds=self._thresholds,
+                name_like=like, category=category, limit=limit,
+            )
         return {"stats": [dict(r) for r in rows]}
 
 
