@@ -8,7 +8,7 @@ similarity, is the acceptance criterion (SURVEY.md §7 hard parts).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import NamedTuple, Sequence
 
