@@ -84,6 +84,10 @@ class TagIndexEpoch:
     # per-category panels (device, padded to n_pad rows)
     cat_max_dev: jnp.ndarray  # (n_pad, 6) float32, 0 where absent
     cat_present_dev: jnp.ndarray  # (n_pad, 6) bool
+    # per-file score extrema over ALL postings (device, padded): answer
+    # bare score>=/>/<=/< EXISTS terms without a 30M-entry scatter
+    smax_dev: jnp.ndarray = None  # (n_pad,) float32, -inf where no postings
+    smin_dev: jnp.ndarray = None  # (n_pad,) float32, +inf where no postings
     n_pad: int = 0
     t_pad: int = 0
     built_at: float = field(default_factory=time.time)
@@ -148,6 +152,16 @@ def _pad_panels(
     return jnp.pad(cat_max_dev, pad), jnp.pad(cat_present_dev, pad)
 
 
+def _pad_extrema(smax_dev: jnp.ndarray, smin_dev: jnp.ndarray, n_pad: int):
+    n = smax_dev.shape[0]
+    if n == n_pad:
+        return smax_dev, smin_dev
+    return (
+        jnp.pad(smax_dev, (0, n_pad - n), constant_values=-jnp.inf),
+        jnp.pad(smin_dev, (0, n_pad - n), constant_values=jnp.inf),
+    )
+
+
 def _assemble_epoch(
     *,
     version: int,
@@ -161,7 +175,7 @@ def _assemble_epoch(
     r_idx: np.ndarray,  # (nnz,) file row per entry
     sc: np.ndarray,  # (nnz,) float32 scores
     presorted: bool = False,  # t_idx already tag-sorted (delta merge path)
-    panels: tuple[jnp.ndarray, jnp.ndarray] | None = None,  # precomputed device panels
+    panels: tuple | None = None,  # precomputed device panels (cat + extrema)
 ) -> TagIndexEpoch:
     from kobato_eyes_tpu.utils.metrics import metrics
 
@@ -176,16 +190,19 @@ def _assemble_epoch(
 
     n = len(file_ids)
     if panels is not None:
-        cat_max_dev, cat_present_dev = panels
+        cat_max_dev, cat_present_dev, smax_dev, smin_dev = panels
     else:
-        cat_max, cat_present = _category_panels(n, t_idx, r_idx, sc, tag_cats)
+        cat_max, cat_present, smax, smin = _category_panels(n, t_idx, r_idx, sc, tag_cats)
         cat_max_dev = jnp.asarray(cat_max)
         cat_present_dev = jnp.asarray(cat_present)
+        smax_dev = jnp.asarray(smax)
+        smin_dev = jnp.asarray(smin)
 
     n_pad, t_pad, rows_dev, scores_dev = _device_postings(
         r_idx.astype(np.int32, copy=False), sc.astype(np.float32), t_idx, n, len(tag_names)
     )
     cat_max_dev, cat_present_dev = _pad_panels(cat_max_dev, cat_present_dev, n_pad)
+    smax_dev, smin_dev = _pad_extrema(smax_dev, smin_dev, n_pad)
 
     return TagIndexEpoch(
         version=version,
@@ -203,6 +220,8 @@ def _assemble_epoch(
         scores_np=sc.astype(np.float64, copy=False),
         cat_max_dev=cat_max_dev,
         cat_present_dev=cat_present_dev,
+        smax_dev=smax_dev,
+        smin_dev=smin_dev,
         n_pad=n_pad,
         t_pad=t_pad,
     )
@@ -214,10 +233,14 @@ def _category_panels(
     r_idx: np.ndarray,
     sc: np.ndarray,
     tag_cats: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-(file, category) max-score + presence panels."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-(file, category) max-score + presence panels, and per-file score
+    extrema over ALL postings (smax/smin: bare score-term EXISTS semantics,
+    category-independent)."""
     cat_max = np.zeros((n, _NUM_CATEGORIES), dtype=np.float32)
     cat_present = np.zeros((n, _NUM_CATEGORIES), dtype=bool)
+    smax = np.full(n, -np.inf, dtype=np.float32)
+    smin = np.full(n, np.inf, dtype=np.float32)
     if len(t_idx):
         cats_of_entries = tag_cats[t_idx]
         valid = (cats_of_entries >= 0) & (cats_of_entries < _NUM_CATEGORIES)
@@ -233,7 +256,20 @@ def _category_panels(
             cells = cell_s[starts]
             cat_max.reshape(-1)[cells] = maxima
             cat_present.reshape(-1)[cells] = True
-    return cat_max, cat_present
+            # per-row extrema ride the same row-major order (cell // 6 = row)
+            rows_s = (cell_s // _NUM_CATEGORIES).astype(np.int64)
+            rstarts = np.concatenate([[0], np.nonzero(np.diff(rows_s))[0] + 1])
+            rrows = rows_s[rstarts]
+            smax[rrows] = np.maximum.reduceat(sv_s, rstarts)
+            smin[rrows] = np.minimum.reduceat(sv_s, rstarts)
+        if not valid.all():
+            # out-of-range categories (never produced by this engine, but the
+            # catalog is open): exact merge of the tiny invalid subset
+            ri = r_idx[~valid]
+            si = sc[~valid].astype(np.float32)
+            np.maximum.at(smax, ri, si)
+            np.minimum.at(smin, ri, si)
+    return cat_max, cat_present, smax, smin
 
 
 def _raw_cursor(conn: sqlite3.Connection) -> sqlite3.Cursor:
@@ -549,23 +585,26 @@ def update_epoch(
             else np.zeros(n_new, dtype=bool)
         )
         src = np.where(from_prev, new_to_old, 0).astype(np.int32)
-        keep_col = jnp.asarray(from_prev)[:, None]
-        cat_max_dev = jnp.where(
-            keep_col, prev.cat_max_dev[jnp.asarray(src)], 0.0
-        )
-        cat_present_dev = jnp.where(
-            keep_col, prev.cat_present_dev[jnp.asarray(src)], False
-        )
+        keep_dev = jnp.asarray(from_prev)
+        keep_col = keep_dev[:, None]
+        src_dev = jnp.asarray(src)
+        cat_max_dev = jnp.where(keep_col, prev.cat_max_dev[src_dev], 0.0)
+        cat_present_dev = jnp.where(keep_col, prev.cat_present_dev[src_dev], False)
+        smax_dev = jnp.where(keep_dev, prev.smax_dev[src_dev], -jnp.inf)
+        smin_dev = jnp.where(keep_dev, prev.smin_dev[src_dev], jnp.inf)
         if len(add_ids):
             # panels for just the added rows, computed densely on host
             add_rows_new = np.searchsorted(file_ids, add_ids)
             local = np.searchsorted(add_ids, fid).astype(np.int32)
-            amax, apresent = _category_panels(len(add_ids), n_t, local, sc, tag_cats)
-            cat_max_dev = cat_max_dev.at[jnp.asarray(add_rows_new)].set(jnp.asarray(amax))
-            cat_present_dev = cat_present_dev.at[jnp.asarray(add_rows_new)].set(
-                jnp.asarray(apresent)
+            amax, apresent, asmax, asmin = _category_panels(
+                len(add_ids), n_t, local, sc, tag_cats
             )
-        panels = (cat_max_dev, cat_present_dev)
+            add_dev = jnp.asarray(add_rows_new)
+            cat_max_dev = cat_max_dev.at[add_dev].set(jnp.asarray(amax))
+            cat_present_dev = cat_present_dev.at[add_dev].set(jnp.asarray(apresent))
+            smax_dev = smax_dev.at[add_dev].set(jnp.asarray(asmax))
+            smin_dev = smin_dev.at[add_dev].set(jnp.asarray(asmin))
+        panels = (cat_max_dev, cat_present_dev, smax_dev, smin_dev)
 
     _metrics.observe("epoch.delta.panels", time.perf_counter() - _t_panels)
     _metrics.observe("epoch.delta.merge", time.perf_counter() - _t_merge)
@@ -659,7 +698,7 @@ def _structure_fn(structure: tuple, slot_buckets: tuple[int, ...]):
         return fn
 
     def build(
-        rows, scores, cat_max, cat_present,
+        rows, scores, cat_max, cat_present, smax, smin,
         slot_starts, slot_skips, slot_lens, slot_gates, score_thr, cat_gate,
     ):
         npad = cat_max.shape[0]
@@ -685,13 +724,21 @@ def _structure_fn(structure: tuple, slot_buckets: tuple[int, ...]):
                 c = node[1]
                 return cat_present[:, c] & (cat_max[:, c] >= cat_gate[c])
             if kind == "score":
+                # bare score EXISTS term (sql.py: no category CASE): the
+                # per-file extrema panels answer every inequality without a
+                # full-postings scatter (30M+ entries at 1M files); exact
+                # equality keeps the scatter formulation
                 op, s_idx = node[1], node[2]
                 t = score_thr[s_idx]
-                pred = {
-                    ">=": scores >= t, "<=": scores <= t, "=": scores == t,
-                    ">": scores > t, "<": scores < t,
-                }[op]
-                return jnp.zeros(npad, dtype=bool).at[rows].max(pred)
+                if op == ">=":
+                    return smax >= t
+                if op == ">":
+                    return smax > t
+                if op == "<=":
+                    return smin <= t
+                if op == "<":
+                    return smin < t
+                return jnp.zeros(npad, dtype=bool).at[rows].max(scores == t)
             if kind == "not":
                 return ~ev(node[1])
             if kind == "and":
@@ -776,6 +823,38 @@ def _query_tables(
     return entry
 
 
+def _topk_select(cols: list[np.ndarray], k: int) -> np.ndarray:
+    """Positions of the k smallest rows under lexicographic (cols[0], cols[1], ...).
+
+    Exact (tie-correct) partial selection: argpartition on the primary key,
+    keep everything strictly below the cutoff, recurse into the cutoff's tie
+    set on the remaining keys.  With a unique final key (file ids) the
+    recursion is finite.  Returns UNORDERED positions — the caller sorts the
+    (<= k)-row survivor set; at 1M files / 700k hits this replaces a full
+    3-key lexsort (the measured host floor) with O(n) partitions.
+    """
+    n = len(cols[0])
+    if k >= n or not cols:
+        return np.arange(n)
+    c0 = cols[0]
+    cutoff = c0[np.argpartition(c0, k - 1)[:k]].max()
+    strict = np.nonzero(c0 < cutoff)[0]
+    need = k - len(strict)
+    if need <= 0:
+        # more strictly-below rows than k can only happen with NaNs; fall back
+        return np.arange(n)
+    tied = np.nonzero(c0 == cutoff)[0]
+    if len(tied) <= need or len(cols) == 1:
+        take = tied[:need] if len(cols) == 1 and len(tied) > need else tied
+        return np.concatenate([strict, take])
+    sub = _topk_select([c[tied] for c in cols[1:]], need)
+    return np.concatenate([strict, tied[sub]])
+
+
+# Hit sets smaller than this sort fully — partitions only pay off at scale.
+_TOPK_MIN_HITS = 16384
+
+
 def search_epoch(
     epoch: TagIndexEpoch,
     query: str,
@@ -804,6 +883,7 @@ def search_epoch(
             fn(
                 epoch.rows_dev, epoch.scores_dev,
                 epoch.cat_max_dev, epoch.cat_present_dev,
+                epoch.smax_dev, epoch.smin_dev,
                 starts_dev, skips_dev, lens_dev, gates_dev,
                 score_dev, catgate_dev,
             )
@@ -837,6 +917,23 @@ def search_epoch(
     idx = np.nonzero(mask)[0]
     if idx.size == 0:
         return []
+    k = offset + limit
+    # large hit sets with a small page: exact partial top-k instead of a
+    # full multi-key lexsort (the measured host floor at 1M files)
+    partial_ok = (
+        order_by in ("relevance", "mtime", "id")
+        and idx.size > _TOPK_MIN_HITS
+        and k * 4 < idx.size
+    )
+    if partial_ok:
+        if order_by == "relevance":
+            cols = [-rel[idx], -epoch.mtimes[idx], epoch.file_ids[idx]]
+        elif order_by == "mtime":
+            cols = [-epoch.mtimes[idx], epoch.file_ids[idx]]
+        else:
+            cols = [epoch.file_ids[idx]]
+        sel = _topk_select(cols, k)
+        idx = idx[sel]
     if order_by == "relevance":
         order = np.lexsort((epoch.file_ids[idx], -epoch.mtimes[idx], -rel[idx].astype(np.float64)))
     elif order_by == "mtime":

@@ -51,6 +51,8 @@ def save_epoch(epoch: TagIndexEpoch, path: str | Path) -> Path:
         scores64=epoch.scores_np,  # f64 host copy (exact relevance ordering)
         cat_max=np.asarray(epoch.cat_max_dev)[: epoch.num_files],
         cat_present=np.asarray(epoch.cat_present_dev)[: epoch.num_files],
+        smax=np.asarray(epoch.smax_dev)[: epoch.num_files],
+        smin=np.asarray(epoch.smin_dev)[: epoch.num_files],
     )
     # atomic pair swap: sidecar first, then the npz (the loader treats a
     # mismatched pair as unusable via the consistency checks below)
@@ -99,7 +101,11 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         arrays["file_ids"], arrays["offsets"], arrays["rows"], scores64
     ):
         raise ValueError("epoch snapshot content digest mismatch")
-    from kobato_eyes_tpu.query.engine import _device_postings, _pad_panels
+    from kobato_eyes_tpu.query.engine import (
+        _device_postings,
+        _pad_extrema,
+        _pad_panels,
+    )
 
     offsets = arrays["offsets"]
     rows = arrays["rows"]
@@ -112,6 +118,18 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
     cat_max_dev, cat_present_dev = _pad_panels(
         jnp.asarray(arrays["cat_max"][:n]), jnp.asarray(arrays["cat_present"][:n]), n_pad
     )
+    if "smax" in arrays.files:
+        smax = arrays["smax"][:n]
+        smin = arrays["smin"][:n]
+    else:
+        # pre-extrema snapshots: rebuild from the host CSR (one load-time pass)
+        smax = np.full(n, -np.inf, dtype=np.float32)
+        smin = np.full(n, np.inf, dtype=np.float32)
+        if len(rows):
+            sc32 = scores64.astype(np.float32)
+            np.maximum.at(smax, rows, sc32)
+            np.minimum.at(smin, rows, sc32)
+    smax_dev, smin_dev = _pad_extrema(jnp.asarray(smax), jnp.asarray(smin), n_pad)
     return TagIndexEpoch(
         version=int(meta["version"]),
         file_ids=arrays["file_ids"],
@@ -132,6 +150,8 @@ def load_epoch(path: str | Path) -> TagIndexEpoch:
         scores_np=scores64,
         cat_max_dev=cat_max_dev,
         cat_present_dev=cat_present_dev,
+        smax_dev=smax_dev,
+        smin_dev=smin_dev,
         n_pad=n_pad,
         t_pad=t_pad,
         built_at=float(meta["built_at"]),

@@ -99,3 +99,124 @@ def test_pagination(catalog, epoch):
     page1 = search_epoch(epoch, "", order_by="id", limit=50, offset=0)
     page2 = search_epoch(epoch, "", order_by="id", limit=50, offset=50)
     assert [r.file_id for r in page1 + page2] == [r.file_id for r in full[:100]]
+
+
+def test_partial_topk_equals_full_sort_under_ties(monkeypatch):
+    """The partial top-k path must return exactly what the full lexsort
+    returns, including under massive ties (zero relevance everywhere,
+    repeated mtimes)."""
+    import numpy as np
+
+    import kobato_eyes_tpu.query.engine as eng
+
+    rng = np.random.default_rng(3)
+    n = 50_000
+    rel = np.where(rng.random(n) < 0.9, 0.0, rng.random(n))  # 90% exact ties
+    mtimes = rng.integers(0, 50, size=n).astype(np.float64)  # heavy tie groups
+    ids = rng.permutation(n).astype(np.int64)
+
+    for k in (1, 37, 200, 1000):
+        full = np.lexsort((ids, -mtimes, -rel))[:k]
+        cols = [-rel, -mtimes, ids]
+        sel = eng._topk_select(cols, k)
+        assert len(sel) >= k
+        sub = np.lexsort((ids[sel], -mtimes[sel], -rel[sel]))[:k]
+        got = sel[sub]
+        np.testing.assert_array_equal(ids[got], ids[full])
+        np.testing.assert_array_equal(rel[got], rel[full])
+
+
+def test_search_epoch_partial_path_matches_sql(tmp_path, monkeypatch):
+    """Force the partial top-k path at small scale and assert device==SQL."""
+    import numpy as np
+
+    import kobato_eyes_tpu.query.engine as eng
+    from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+    from kobato_eyes_tpu.db.repository import (
+        TaggingItem,
+        search_files,
+        upsert_file,
+        write_tagging_batch,
+    )
+    from kobato_eyes_tpu.query.ast import extract_positive_tag_terms
+    from kobato_eyes_tpu.query.sql import normalize_thresholds, translate_query
+
+    monkeypatch.setattr(eng, "_TOPK_MIN_HITS", 8)  # engage the partial path
+    reset_bootstrap_cache()
+    conn = bootstrap(tmp_path / "p.sqlite")
+    rng = np.random.default_rng(9)
+    for i in range(400):
+        fid = upsert_file(
+            conn, path=f"/p/{i:04d}.png", mtime=1e9 + int(rng.integers(0, 7))
+        )
+        tags = [("common", float(rng.choice([0.5, 0.9])), 0)]
+        if i % 3 == 0:
+            tags.append(("rare", 0.8, 0))
+        write_tagging_batch(conn, [TaggingItem(fid, tags)])
+    epoch = eng.build_epoch(conn)
+    thr = normalize_thresholds({})
+    for q, order in (("common", "relevance"), ("common", "mtime"), ("common", "id"),
+                     ("common OR rare", "relevance")):
+        dev = [
+            r.file_id
+            for r in eng.search_epoch(epoch, q, order_by=order, limit=25, offset=5)
+        ]
+        frag = translate_query(q, thresholds={})
+        sql = [
+            r.file_id
+            for r in search_files(
+                conn, frag.where, frag.params,
+                positive_tags=extract_positive_tag_terms(q),
+                thresholds=thr, order_by=order, limit=25, offset=5, hydrate=False,
+            )
+        ]
+        assert dev == sql, (q, order)
+    conn.close()
+
+
+def test_score_extrema_panels_all_operators(tmp_path):
+    """Bare score terms (>=, >, <=, <, =) answered by the per-file extrema
+    panels must equal the SQL EXISTS backend — including untagged files
+    (no postings => EXISTS always false)."""
+    import numpy as np
+
+    import kobato_eyes_tpu.query.engine as eng
+    from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+    from kobato_eyes_tpu.db.repository import (
+        TaggingItem,
+        search_files,
+        upsert_file,
+        write_tagging_batch,
+    )
+    from kobato_eyes_tpu.query.ast import extract_positive_tag_terms
+    from kobato_eyes_tpu.query.sql import normalize_thresholds, translate_query
+
+    reset_bootstrap_cache()
+    conn = bootstrap(tmp_path / "sp.sqlite")
+    rng = np.random.default_rng(13)
+    for i in range(120):
+        fid = upsert_file(conn, path=f"/sp/{i:03d}.png", mtime=1e9 + i)
+        if i % 7 == 0:
+            continue  # untagged file: no postings at all
+        tags = [
+            (f"t{int(k)}", float(rng.choice([0.1, 0.35, 0.5, 0.9])), int(k) % 6)
+            for k in rng.integers(0, 20, size=int(rng.integers(1, 6)))
+        ]
+        tags = list({t[0]: t for t in tags}.values())
+        write_tagging_batch(conn, [TaggingItem(fid, tags)])
+    epoch = eng.build_epoch(conn)
+    thr = normalize_thresholds({})
+    for q in ("score>=0.5", "score>0.5", "score<=0.1", "score<0.35",
+              "score=0.35", "score>=0.35 -t0", "t1 score<0.9"):
+        dev = [r.file_id for r in eng.search_epoch(epoch, q, order_by="id", limit=300)]
+        frag = translate_query(q, thresholds={})
+        sql = [
+            r.file_id
+            for r in search_files(
+                conn, frag.where, frag.params,
+                positive_tags=extract_positive_tag_terms(q),
+                thresholds=thr, order_by="id", limit=300, hydrate=False,
+            )
+        ]
+        assert dev == sql, q
+    conn.close()
