@@ -921,7 +921,8 @@ def search_epoch(
     # large hit sets with a small page: exact partial top-k instead of a
     # full multi-key lexsort (the measured host floor at 1M files)
     partial_ok = (
-        order_by in ("relevance", "mtime", "id")
+        k > 0
+        and order_by in ("relevance", "mtime", "id")
         and idx.size > _TOPK_MIN_HITS
         and k * 4 < idx.size
     )
