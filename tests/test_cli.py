@@ -122,3 +122,58 @@ def test_repl(env, capsys, monkeypatch):
     out = capsys.readouterr().out
     # both queries returned every dummy-tagged file
     assert out.count(".png") + out.count(".jpg") == 2 * len(paths)
+
+
+def test_ann_build_and_query(tmp_path, image_dir, capsys):
+    """The full ANN user journey at the CLI: embed during index (index.enabled),
+    build the HNSW graph from stored embeddings, query by image."""
+    reset_bootstrap_cache()
+    root, paths = image_dir
+    data_dir = tmp_path / "data"
+    cfg = tmp_path / "settings.yaml"
+    cfg.write_text(
+        "pipeline:\n"
+        f"  roots: [{root}]\n"
+        "  batch_size: 2\n"
+        "tagger:\n"
+        "  name: dummy\n"
+        "index:\n"
+        "  enabled: true\n"
+        "  preset: tiny\n"
+        "  image_size: 64\n"
+        "  patch_size: 16\n"
+        "  embed_dim: 64\n"
+    )
+    base = ["--config", str(cfg), "--data-dir", str(data_dir)]
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    assert main([*base, "ann", "--build"]) == 0
+    err_out = capsys.readouterr()
+    assert main([*base, "ann", "--query-image", str(paths[0]), "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == 3
+    # the query image itself must be its own nearest neighbor
+    assert str(paths[0]) in lines[0]
+
+
+def test_refresh_detects_new_and_missing(env, capsys, image_dir):
+    """`ket refresh <root>`: tags files that appeared, soft-deletes gone ones."""
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    # add one image, remove one
+    from tests.conftest import make_rgb_image
+    import numpy as np
+
+    make_rgb_image(np.random.default_rng(77)).save(root / "newcomer.png")
+    paths[0].unlink()
+    assert main([*base, "refresh", str(root)]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["tagged"] >= 1
+    assert stats["missing"] >= 1
+    # the newcomer is searchable, the removed file is not
+    assert main([*base, "search", "1girl", "--backend", "sql", "--limit", "100"]) == 0
+    out = capsys.readouterr().out
+    assert "newcomer.png" in out
+    assert paths[0].name not in out
