@@ -30,11 +30,18 @@ logger = logging.getLogger(__name__)
 class TpuDuplicateScanner:
     """Build duplicate clusters from perceptual hashes on device."""
 
-    def __init__(self, config: DuplicateScanConfig | None = None, *, block: int = 2048) -> None:
+    def __init__(
+        self,
+        config: DuplicateScanConfig | None = None,
+        *,
+        block: int = 2048,
+        mesh=None,  # jax.sharding.Mesh: shard the candidate scan over chips
+    ) -> None:
         self._config = config or DuplicateScanConfig()
         self._block = block
         self._scanner = BandedHammingScanner(
-            band_bits=self._config.band_bits, band_count=self._config.band_count
+            band_bits=self._config.band_bits, band_count=self._config.band_count,
+            mesh=mesh,
         )
         # per-file string sort keys survive across scans (service steady state)
         self._key_cache: dict[int, tuple[object, str, str, str, int]] = {}

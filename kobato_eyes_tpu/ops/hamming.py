@@ -596,6 +596,7 @@ class BandedHammingScanner:
         band_count: int = 4,
         max_window: int = 256,
         max_edges_hint: int = 1 << 16,
+        mesh=None,  # jax.sharding.Mesh: shard the compare over its data axis
     ) -> None:
         if band_bits * band_count > 64 or band_bits > 32:
             raise ValueError("band config too large")
@@ -603,6 +604,7 @@ class BandedHammingScanner:
         self.band_count = band_count
         self.max_window = max_window
         self.max_edges_hint = max_edges_hint
+        self._mesh = mesh
         self._digest: bytes | None = None
         self._ph_dev: jnp.ndarray | None = None
         self._sizes_dev: jnp.ndarray | None = None
@@ -647,6 +649,68 @@ class BandedHammingScanner:
             self._order_host = np.asarray(self._order_dev).astype(np.int64)
         return self._order_host
 
+    def _scan_sharded(
+        self,
+        ph_u64: np.ndarray,
+        *,
+        hamming_threshold: int,
+        sizes_f: np.ndarray,
+        use_size: bool,
+        size_ratio: float | None,
+        bucket_pair_cap: int | None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Multi-chip scan: the windowed compare sharded over the mesh's
+        data axis (parallel/sharded_scan.py), identical candidate semantics
+        to the single-chip path (same band sort, same window sizing, same
+        exact host post-filters)."""
+        from kobato_eyes_tpu.parallel.sharded_scan import sharded_window_scan
+
+        n = ph_u64.shape[0]
+        keys = band_keys_np(ph_u64, self.band_bits, self.band_count)
+        ok = bucket_ok_np(keys, bucket_pair_cap)
+        pairs = u64_to_u32pair(ph_u64)
+        orders = np.stack([
+            np.argsort(keys[:, b].astype(np.uint32), kind="stable")
+            for b in range(self.band_count)
+        ])
+        sk = np.take_along_axis(keys.T.astype(np.uint32), orders, axis=1)
+        sph = pairs[orders]
+        sok = np.take_along_axis(ok.T, orders, axis=1)
+
+        max_run = 1
+        for b in range(self.band_count):
+            _, counts = np.unique(keys[:, b], return_counts=True)
+            max_run = max(max_run, int(counts.max()))
+        window = min(max_run - 1, n - 1)
+        if window <= 0:
+            empty = np.empty(0, np.int64)
+            return empty, empty, empty
+
+        cap = max(self.max_edges_hint, 1 << 12)
+        while True:
+            try:
+                b, i_s, j_s, d = sharded_window_scan(
+                    self._mesh, sk, sph, sok,
+                    hamming_threshold=hamming_threshold, window=window,
+                    max_edges_per_shard=cap,
+                )
+                break
+            except ValueError:
+                cap *= 4  # overflow: retry with headroom (bounded by n*window)
+                if cap > 4 * n * window:
+                    raise
+
+        gi = orders[b, i_s]
+        gj = orders[b, j_s]
+        lo = np.minimum(gi, gj)
+        hi = np.maximum(gi, gj)
+        _, first = np.unique(lo * np.int64(n) + hi, return_index=True)
+        ei, ej, dist = lo[first], hi[first], d[first]
+        if use_size and size_ratio is not None:
+            keep = _exact_size_ratio_keep(ei, ej, sizes_f, float(size_ratio))
+            ei, ej, dist = ei[keep], ej[keep], dist[keep]
+        return ei.astype(np.int64), ej.astype(np.int64), dist.astype(np.int64)
+
     def scan(
         self,
         ph_u64: np.ndarray,
@@ -665,6 +729,13 @@ class BandedHammingScanner:
         sizes_f = (sizes if sizes is not None else np.zeros(n)).astype(np.float64)
         use_size = size_ratio is not None and size_ratio > 0 and sizes is not None
         use_ok = bucket_pair_cap is not None
+
+        if self._mesh is not None and int(self._mesh.shape.get("data", 1)) > 1:
+            return self._scan_sharded(
+                ph_u64, hamming_threshold=hamming_threshold, sizes_f=sizes_f,
+                use_size=use_size, size_ratio=size_ratio,
+                bucket_pair_cap=bucket_pair_cap,
+            )
 
         with metrics.timer("dup.scan.upload"):
             self._ensure_resident(ph_u64, sizes_f)
