@@ -243,7 +243,20 @@ def cmd_dup(args) -> int:
         size_ratio=args.size_ratio if args.size_ratio is not None else settings.dup.size_ratio,
         bucket_pair_cap=settings.dup.bucket_pair_cap,
     )
-    scanner = TpuDuplicateScanner(cfg)
+    # multi-chip: shard the candidate compare over the configured mesh when
+    # more than one device is attached (single-device runs stay on the
+    # fused resident-scan path)
+    mesh = None
+    import jax as _jax
+
+    if len(_jax.devices()) > 1:
+        from kobato_eyes_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            data=settings.mesh.data_parallel, model=settings.mesh.model_parallel
+        )
+        print(f"dup scan sharded over {mesh.shape} mesh", file=sys.stderr)
+    scanner = TpuDuplicateScanner(cfg, mesh=mesh)
     if args.sweep:
         # interactive-slider workload: one scan, clusters for every threshold
         sweep = scanner.build_clusters_sweep(metas, range(0, cfg.hamming_threshold + 1))
