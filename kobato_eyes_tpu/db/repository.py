@@ -262,24 +262,21 @@ def upsert_tags(
         else:
             pending.append((name, int(category)))
     if pending:
-        names = [n for n, _ in pending]
-        for chunk in _chunks(names):
-            ph = ",".join("?" * len(chunk))
-            for nm, i in conn.execute(
-                f"SELECT name, id FROM tags WHERE name IN ({ph})", list(chunk)
-            ):
-                ids[nm] = int(i)
-        missing = [(n, c) for n, c in pending if n not in ids]
-        if missing:
-            conn.executemany(
-                "INSERT OR IGNORE INTO tags (name, category) VALUES (?, ?)", missing
-            )
-            for chunk in _chunks([n for n, _ in missing]):
+        def _resolve(names: list[str]) -> None:
+            for chunk in _chunks(names):
                 ph = ",".join("?" * len(chunk))
                 for nm, i in conn.execute(
                     f"SELECT name, id FROM tags WHERE name IN ({ph})", list(chunk)
                 ):
                     ids[nm] = int(i)
+
+        _resolve([n for n, _ in pending])
+        missing = [(n, c) for n, c in pending if n not in ids]
+        if missing:
+            conn.executemany(
+                "INSERT OR IGNORE INTO tags (name, category) VALUES (?, ?)", missing
+            )
+            _resolve([n for n, _ in missing])
         if cache is not None:
             for n, _ in pending:
                 cache[n] = ids[n]

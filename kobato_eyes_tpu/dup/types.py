@@ -158,7 +158,10 @@ class NodeColumnCache:
         if len(self.fids) < len(nodes) or len(nodes) == 0:
             return None
         pos = np.searchsorted(self.fids, nodes)
-        if int(pos[-1]) >= len(self.fids) or not (self.fids[pos] == nodes).all():
+        # bound-check EVERY position: the public assembly entries make no
+        # sortedness promise about nodes, so any element may search past the
+        # cached axis, not just the last one
+        if (pos >= len(self.fids)).any() or not (self.fids[pos] == nodes).all():
             return None
         stored = self.metas[pos]
         if not all(a is b for a, b in zip(stored.tolist(), metas)):
@@ -192,9 +195,13 @@ class NodeColumnCache:
             (self.metas, self.sizes, self.res, self.extpri,
              self.pathlow, self.namelow, self.suffix) = (c[order] for c in cols)
         else:
-            self.fids = nodes.copy()
+            # keep the axis sorted even on first store: nodes from the
+            # public entries carry no sortedness promise, and every lookup
+            # searchsorts against this axis
+            order = np.argsort(nodes, kind="stable")
+            self.fids = nodes[order]
             (self.metas, self.sizes, self.res, self.extpri,
-             self.pathlow, self.namelow, self.suffix) = cols_new
+             self.pathlow, self.namelow, self.suffix) = (c[order] for c in cols_new)
         self.path_r = np.unique(self.pathlow, return_inverse=True)[1]
         self.name_r = np.unique(self.namelow, return_inverse=True)[1]
         self.suffix_r = np.unique(self.suffix, return_inverse=True)[1]
@@ -435,42 +442,45 @@ def _assemble_tail(
     _gc_was_enabled = gc.isenabled()
     if _gc_was_enabled:
         gc.disable()
-    keeper_ids = np.ascontiguousarray(nodes[first_rows][c_order], dtype=np.int64)
-    starts_o = np.ascontiguousarray(starts[c_order], dtype=np.int64)
-    ends_o = np.ascontiguousarray(ends[c_order], dtype=np.int64)
-    out = None
     try:
-        # native object-construction burst (~5x the bytecode loop at 70k)
-        from kobato_eyes_tpu.native.build import load_extension_module
+        keeper_ids = np.ascontiguousarray(nodes[first_rows][c_order], dtype=np.int64)
+        starts_o = np.ascontiguousarray(starts[c_order], dtype=np.int64)
+        ends_o = np.ascontiguousarray(ends[c_order], dtype=np.int64)
+        out = None
+        try:
+            # native object-construction burst (~5x the bytecode loop at 70k)
+            from kobato_eyes_tpu.native.build import load_extension_module
 
-        _assembly = load_extension_module("assembly")
-        out = _assembly.build_clusters(
-            DuplicateClusterEntry, DuplicateCluster, metas,
-            np.ascontiguousarray(np.where(best_h == big, np.int64(-1), best_h)),
-            np.ascontiguousarray(entry_order, dtype=np.int64),
-            starts_o, ends_o, keeper_ids,
-        )
-    except Exception:  # toolchain-less host: keep the pure-Python burst
-        logger_build = __import__("logging").getLogger(__name__)
-        logger_build.debug("native assembly unavailable; python fallback", exc_info=True)
-    if out is None:
-        hamm_arr = best_h.astype(object)  # object ints in one C pass
-        hamm_arr[best_h == big] = None
-        metas_arr = np.empty(k, dtype=object)
-        metas_arr[:] = metas
-        entries_all = list(map(
-            DuplicateClusterEntry,
-            metas_arr[entry_order].tolist(),
-            hamm_arr[entry_order].tolist(),
-        ))
-        groups = map(
-            entries_all.__getitem__,
-            map(slice, starts_o.tolist(), ends_o.tolist()),
-        )
-        out = list(map(DuplicateCluster, groups, keeper_ids.tolist()))
-    if _gc_was_enabled:
-        gc.enable()
-    _t_build.__exit__(None, None, None)
+            _assembly = load_extension_module("assembly")
+            out = _assembly.build_clusters(
+                DuplicateClusterEntry, DuplicateCluster, metas,
+                np.ascontiguousarray(np.where(best_h == big, np.int64(-1), best_h)),
+                np.ascontiguousarray(entry_order, dtype=np.int64),
+                starts_o, ends_o, keeper_ids,
+            )
+        except Exception:  # toolchain-less host: keep the pure-Python burst
+            logger_build = __import__("logging").getLogger(__name__)
+            logger_build.debug("native assembly unavailable; python fallback", exc_info=True)
+        if out is None:
+            hamm_arr = best_h.astype(object)  # object ints in one C pass
+            hamm_arr[best_h == big] = None
+            metas_arr = np.empty(k, dtype=object)
+            metas_arr[:] = metas
+            entries_all = list(map(
+                DuplicateClusterEntry,
+                metas_arr[entry_order].tolist(),
+                hamm_arr[entry_order].tolist(),
+            ))
+            groups = map(
+                entries_all.__getitem__,
+                map(slice, starts_o.tolist(), ends_o.tolist()),
+            )
+            out = list(map(DuplicateCluster, groups, keeper_ids.tolist()))
+    finally:
+        # a MemoryError mid-burst must not leave collection off process-wide
+        if _gc_was_enabled:
+            gc.enable()
+        _t_build.__exit__(None, None, None)
     return out
 
 

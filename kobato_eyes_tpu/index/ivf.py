@@ -145,7 +145,9 @@ class IvfFlatIndex:
 
         self.n_lists = n_lists
         self._centroids = jnp.asarray(centroids[list_cluster])
-        self._members = jnp.asarray(members)
+        # host-only: the search kernel reads assign_list, not the member
+        # table (kept for introspection/tests — no reason to burn HBM on it)
+        self._members = members
         self._assign_list = jnp.asarray(assign_list)
         self._corpus = jnp.asarray(vecs)
         self.dim = vecs.shape[1]

@@ -278,12 +278,13 @@ class JaxTagger:
         return results
 
     def _thr_dev(self, thr_vec: np.ndarray) -> jnp.ndarray:
-        """Device copy of the threshold vector, cached by array identity —
-        the default vector would otherwise re-upload (one relay round trip)
-        every batch."""
-        key = id(thr_vec)
-        if self._thr_dev_cache is None or self._thr_dev_cache[0] != key:
-            self._thr_dev_cache = (key, jnp.asarray(thr_vec))
+        """Device copy of the threshold vector, cached by object identity —
+        the long-lived default vector would otherwise re-upload (one relay
+        round trip) every batch.  The cache holds a STRONG reference to the
+        keyed array: an id()-keyed cache without one can serve a previous
+        call's thresholds after the allocator reuses the freed address."""
+        if self._thr_dev_cache is None or self._thr_dev_cache[0] is not thr_vec:
+            self._thr_dev_cache = (thr_vec, jnp.asarray(thr_vec))
         return self._thr_dev_cache[1]
 
     # The select is split device/host so many batches can share ONE sync

@@ -23,6 +23,7 @@ per block so the whole scan stays inside one jitted program per block shape.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import jax
@@ -30,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from kobato_eyes_tpu.utils.bits import popcount64_np, u32pair_to_u64, u64_to_u32pair
+
+logger = logging.getLogger(__name__)
 
 
 @partial(jax.jit, static_argnames=("block", "max_edges", "use_size", "use_cosine"))
@@ -658,11 +661,13 @@ class BandedHammingScanner:
         use_size: bool,
         size_ratio: float | None,
         bucket_pair_cap: int | None,
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Multi-chip scan: the windowed compare sharded over the mesh's
         data axis (parallel/sharded_scan.py), identical candidate semantics
-        to the single-chip path (same band sort, same window sizing, same
-        exact host post-filters)."""
+        to the single-chip path (same band sort, same exact host
+        post-filters).  Returns None when the largest bucket run exceeds
+        ``max_window`` — the caller falls back to the single-chip path,
+        whose capped window + exact oversized-bucket host pass handle it."""
         from kobato_eyes_tpu.parallel.sharded_scan import sharded_window_scan
 
         n = ph_u64.shape[0]
@@ -685,6 +690,12 @@ class BandedHammingScanner:
         if window <= 0:
             empty = np.empty(0, np.int64)
             return empty, empty, empty
+        if window > self.max_window:
+            logger.info(
+                "sharded scan: bucket run %d exceeds max_window %d; "
+                "falling back to the single-chip path", max_run, self.max_window,
+            )
+            return None
 
         cap = max(self.max_edges_hint, 1 << 12)
         while True:
@@ -731,11 +742,17 @@ class BandedHammingScanner:
         use_ok = bucket_pair_cap is not None
 
         if self._mesh is not None and int(self._mesh.shape.get("data", 1)) > 1:
-            return self._scan_sharded(
+            sharded = self._scan_sharded(
                 ph_u64, hamming_threshold=hamming_threshold, sizes_f=sizes_f,
                 use_size=use_size, size_ratio=size_ratio,
                 bucket_pair_cap=bucket_pair_cap,
             )
+            if sharded is not None:
+                return sharded
+            # pathological bucket run beyond max_window: the sharded kernel
+            # would materialize (bands, window, rows/shard) intermediates of
+            # multi-GB size — fall through to the single-chip path, which
+            # caps the window and handles oversized buckets exactly
 
         with metrics.timer("dup.scan.upload"):
             self._ensure_resident(ph_u64, sizes_f)

@@ -755,6 +755,11 @@ def _structure_fn(structure: tuple, slot_buckets: tuple[int, ...]):
         return jnp.sum(w << shifts, axis=1, dtype=jnp.uint32)
 
     fn = jax.jit(build)
+    if len(_STRUCTURE_CACHE) >= _PER_EPOCH_CACHE_CAP:
+        # bound the compiled-program cache: slot buckets track per-tag
+        # posting lengths, so a long-lived serve process accumulates new
+        # (structure, buckets) variants as the catalog grows
+        _STRUCTURE_CACHE.clear()
     _STRUCTURE_CACHE[key] = fn
     return fn
 

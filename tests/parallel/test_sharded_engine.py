@@ -75,3 +75,24 @@ def test_mesh_scanner_with_pair_cap():
     a = sharded.build_clusters(files)
     b = TpuDuplicateScanner(cfg).build_clusters(files)
     assert cluster_ids(a) == cluster_ids(b)
+
+
+def test_mesh_scanner_oversized_run_falls_back():
+    """A bucket run beyond max_window must not blow up the sharded kernel's
+    (bands, window, rows/shard) intermediates — the scan falls back to the
+    single-chip path and keeps cluster identity."""
+    from kobato_eyes_tpu.dup.engine import TpuDuplicateScanner, cluster_ids
+    from kobato_eyes_tpu.dup.types import DuplicateScanConfig
+    from kobato_eyes_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    files = _files(rng, 500)
+    for f in files[:120]:  # run of 120 identical hashes
+        object.__setattr__(f, "phash", files[0].phash)
+    cfg = DuplicateScanConfig(hamming_threshold=4)
+    mesh = make_mesh(data=8, model=1)
+    sharded = TpuDuplicateScanner(cfg, mesh=mesh)
+    sharded._scanner.max_window = 64  # force run > max_window
+    a = sharded.build_clusters(files)
+    b = TpuDuplicateScanner(cfg).build_clusters(files)
+    assert cluster_ids(a) == cluster_ids(b)
