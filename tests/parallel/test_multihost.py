@@ -84,7 +84,7 @@ def test_two_process_cluster_global_reduction(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=540)
         outs.append(out)
     for k, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{k} failed:\n{out}"
@@ -119,5 +119,5 @@ def test_env_driven_initialization(tmp_path):
             )
         )
     for k, p in enumerate(procs):
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=540)
         assert p.returncode == 0, f"proc{k} failed:\n{out}"
