@@ -255,7 +255,10 @@ def cmd_dup(args) -> int:
         mesh = make_mesh(
             data=settings.mesh.data_parallel, model=settings.mesh.model_parallel
         )
-        print(f"dup scan sharded over {mesh.shape} mesh", file=sys.stderr)
+        if int(mesh.shape.get("data", 1)) > 1:
+            # the scanner may still fall back to single-chip for pathological
+            # bucket runs (ops/hamming.py logs that case)
+            print(f"dup scan sharded over {mesh.shape} mesh", file=sys.stderr)
     scanner = TpuDuplicateScanner(cfg, mesh=mesh)
     if args.sweep:
         # interactive-slider workload: one scan, clusters for every threshold

@@ -46,13 +46,23 @@ class TpuDuplicateScanner:
         # per-file string sort keys survive across scans (service steady state)
         self._key_cache: dict[int, tuple[object, str, str, str, int]] = {}
         self._column_cache = NodeColumnCache()
+        # columnar prep (ids/phash/sizes) reused across scans when the caller
+        # vouches the file snapshot is unchanged via ``files_token`` — the
+        # np.fromiter passes over 70k dataclasses are identical every scan
+        self._prep_cache: tuple[object, bool, tuple] | None = None
+        # full-assembly memo: identical edges + same snapshot -> same clusters
+        self._assembly_memo: tuple[object, tuple, list[DuplicateCluster]] | None = None
 
     @property
     def config(self) -> DuplicateScanConfig:
         return self._config
 
     def build_clusters_sweep(
-        self, files: Iterable[DuplicateFileMeta], thresholds: Sequence[int]
+        self,
+        files: Iterable[DuplicateFileMeta],
+        thresholds: Sequence[int],
+        *,
+        files_token: object | None = None,
     ) -> dict[int, list[DuplicateCluster]]:
         """Clusters for SEVERAL Hamming thresholds from ONE device scan.
 
@@ -74,7 +84,9 @@ class TpuDuplicateScanner:
             cosine_threshold=base_cfg.cosine_threshold,
             bucket_pair_cap=base_cfg.bucket_pair_cap,
         )
-        ids, unique, ei, ej, dists = self._scan_edges(list(files), scan_cfg)
+        ids, unique, ei, ej, dists = self._scan_edges(
+            files, scan_cfg, files_token=files_token
+        )
         out: dict[int, list[DuplicateCluster]] = {}
         for t in thresholds:
             keep = dists <= t
@@ -84,38 +96,83 @@ class TpuDuplicateScanner:
             ) if len(unique) >= 2 else []
         return out
 
-    def build_clusters(self, files: Iterable[DuplicateFileMeta]) -> list[DuplicateCluster]:
+    def build_clusters(
+        self,
+        files: Iterable[DuplicateFileMeta],
+        *,
+        files_token: object | None = None,
+    ) -> list[DuplicateCluster]:
+        """Scan + cluster.  ``files_token``: optional caller-owned snapshot
+        key (e.g. the catalog epoch version).  When the token matches the
+        previous scan's, the engine reuses its columnar prep, and — if the
+        device scan also yields an identical edge set — the assembled
+        clusters themselves (the steady-state interactive re-scan).  Callers
+        MUST change the token whenever any file's id/phash/size/embedding
+        or the meta objects change; ``None`` disables all snapshot reuse.
+        """
         cfg = self._config
         t0 = time.perf_counter()
-        ids, unique, ei, ej, dists = self._scan_edges(list(files), cfg)
+        ids, unique, ei, ej, dists = self._scan_edges(files, cfg, files_token=files_token)
         if len(unique) < 2:
             return []
 
         from kobato_eyes_tpu.utils.metrics import metrics
 
         with metrics.timer("dup.assemble"):
-            # index-space fast path: no id->meta dict, no id-sort node discovery
-            clusters = assemble_clusters_indexed(
-                unique, ids, (ei, ej, dists),
-                key_cache=self._key_cache, column_cache=self._column_cache,
-            )
+            memo = self._assembly_memo
+            if (
+                files_token is not None
+                and memo is not None
+                and memo[0] == files_token
+                and len(memo[1][0]) == len(ei)
+                and np.array_equal(memo[1][0], ei)
+                and np.array_equal(memo[1][1], ej)
+                and np.array_equal(memo[1][2], dists)
+            ):
+                # unchanged snapshot + identical edges -> identical clusters;
+                # reconstructing ~2 objects/member would rebuild what we
+                # already hold.  Outer list copied so callers may reorder.
+                clusters = list(memo[2])
+            else:
+                # index-space fast path: no id->meta dict, no id-sort node
+                # discovery
+                clusters = assemble_clusters_indexed(
+                    unique, ids, (ei, ej, dists),
+                    key_cache=self._key_cache, column_cache=self._column_cache,
+                )
+                if files_token is not None:
+                    # private copy: callers may reorder the returned list
+                    self._assembly_memo = (files_token, (ei, ej, dists), list(clusters))
         logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
         return clusters
 
-    def _scan_edges(
-        self, files: list[DuplicateFileMeta], cfg: DuplicateScanConfig
-    ) -> tuple[np.ndarray, list[DuplicateFileMeta], np.ndarray, np.ndarray, np.ndarray]:
-        """Candidate scan -> (ids, unique_files, edge_i, edge_j, dists)."""
+    def _prep_columns(
+        self,
+        files: Iterable[DuplicateFileMeta],
+        cfg: DuplicateScanConfig,
+        files_token: object | None,
+    ) -> tuple[np.ndarray, list[DuplicateFileMeta], np.ndarray, np.ndarray, np.ndarray | None]:
+        """files -> (ids, unique_metas, phash_u64, sizes, embeddings|None).
+
+        The Python-object -> column conversion is the scan's only remaining
+        per-item host pass; it is identical every scan of an unchanged
+        snapshot, so a matching ``files_token`` returns the cached columns
+        without touching ``files`` at all.
+        """
+        want_cos = cfg.cosine_threshold is not None
+        cache = self._prep_cache
+        if files_token is not None and cache is not None:
+            tok, had_cos, cols = cache
+            if tok == files_token and had_cos == want_cos:
+                return cols
+
         candidates = [f for f in files if f.phash is not None]
-        t0 = time.perf_counter()
-        logger.info(
-            "dup: candidates=%d band_bits=%d band_count=%d ham_th=%d size_ratio=%s cosine_th=%s",
-            len(candidates), cfg.band_bits, cfg.band_count,
-            cfg.hamming_threshold, cfg.size_ratio, cfg.cosine_threshold,
-        )
         empty = np.empty(0, np.int64)
         if len(candidates) < 2:
-            return empty, candidates, empty, empty, empty
+            cols = (empty, candidates, empty, empty, None)
+            if files_token is not None:
+                self._prep_cache = (files_token, want_cos, cols)
+            return cols
 
         # Rows sharing a file_id would self-pair in index space; the reference
         # skips a.file_id == b.file_id pairs, so deduplicate rows up front.
@@ -143,20 +200,50 @@ class TpuDuplicateScanner:
         )
 
         embeddings = None
-        if cfg.cosine_threshold is not None and all(
+        if want_cos and all(
             f.embedding is not None and len(f.embedding) > 0 for f in unique
         ):
             dims = {len(f.embedding) for f in unique}  # type: ignore[arg-type]
             if len(dims) == 1:
                 embeddings = np.array([f.embedding for f in unique], dtype=np.float32)
+        cols = (ids, unique, ph, sizes, embeddings)
+        if files_token is not None:
+            self._prep_cache = (files_token, want_cos, cols)
+        return cols
 
-        ei, ej, dists = self._scanner.scan(
-            ph,
-            hamming_threshold=cfg.hamming_threshold,
-            sizes=sizes,
-            size_ratio=cfg.size_ratio,
-            bucket_pair_cap=cfg.bucket_pair_cap,
+    def _scan_edges(
+        self,
+        files: Iterable[DuplicateFileMeta],
+        cfg: DuplicateScanConfig,
+        *,
+        files_token: object | None = None,
+    ) -> tuple[np.ndarray, list[DuplicateFileMeta], np.ndarray, np.ndarray, np.ndarray]:
+        """Candidate scan -> (ids, unique_files, edge_i, edge_j, dists)."""
+        from kobato_eyes_tpu.utils.metrics import metrics
+
+        t0 = time.perf_counter()
+        with metrics.timer("dup.scan.prep"):
+            cols = self._prep_columns(files, cfg, files_token)
+        ids, unique, ph, sizes, embeddings = cols
+        empty = np.empty(0, np.int64)
+        if len(unique) < 2:
+            return empty, unique, empty, empty, empty
+        logger.info(
+            "dup: candidates=%d band_bits=%d band_count=%d ham_th=%d size_ratio=%s cosine_th=%s",
+            len(unique), cfg.band_bits, cfg.band_count,
+            cfg.hamming_threshold, cfg.size_ratio, cfg.cosine_threshold,
         )
+
+        # outer timer: upload/bucket_stats/device/expand are its children, so
+        # (call - children) exposes any untimed host slice inside the scan
+        with metrics.timer("dup.scan.call"):
+            ei, ej, dists = self._scanner.scan(
+                ph,
+                hamming_threshold=cfg.hamming_threshold,
+                sizes=sizes,
+                size_ratio=cfg.size_ratio,
+                bucket_pair_cap=cfg.bucket_pair_cap,
+            )
         if embeddings is not None and cfg.cosine_threshold is not None and len(ei):
             # Cosine verification post-filters the (tiny) edge list — same
             # semantics as the reference's per-pair filter: zero-norm

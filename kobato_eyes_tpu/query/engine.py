@@ -19,6 +19,7 @@ import logging
 import sqlite3
 import time
 from dataclasses import dataclass, field
+from functools import cached_property
 from typing import Mapping, Sequence
 
 import jax
@@ -95,6 +96,21 @@ class TagIndexEpoch:
     @property
     def num_files(self) -> int:
         return len(self.file_ids)
+
+    @cached_property
+    def path_ranks(self) -> np.ndarray:
+        """Order-isomorphic integer ranks of ``paths``.
+
+        Lexsorting these equals lexsorting the raw strings (np U-dtype
+        compares code points; SQLite BINARY collation is UTF-8 memcmp, and
+        UTF-8 preserves code-point order) — same trick as the dup engine's
+        sort keys.  Computed once per epoch on first path-ordered query;
+        a 1M-file path ORDER BY then costs an int gather, not a
+        per-hit Python list comprehension.  (cached_property writes
+        straight into __dict__, so the frozen dataclass stays frozen; a
+        concurrent double-compute is benign.)
+        """
+        return np.unique(np.asarray(self.paths), return_inverse=True)[1]
 
     @property
     def num_tags(self) -> int:
@@ -377,8 +393,42 @@ def _fetch_file_tag_arrays(
     return fid, tid, sc
 
 
+def _data_version(conn: sqlite3.Connection) -> int:
+    """SQLite's cross-connection change counter (PRAGMA data_version) —
+    bumps whenever ANOTHER connection commits, including the side connection
+    used by the native catalog fetch's file."""
+    return int(_raw_cursor(conn).execute("PRAGMA data_version").fetchone()[0])
+
+
 def build_epoch(conn: sqlite3.Connection, *, version: int = 0) -> TagIndexEpoch:
-    """Snapshot the catalog's present files into a device epoch."""
+    """Snapshot the catalog's present files into a device epoch.
+
+    Epoch builds normally run under the single-writer discipline, but the
+    native file_tags fetch reads the DB file on a separate connection —
+    a writer committing between the files/tags reads and that fetch would
+    yield a mixed-state epoch.  Detect it via PRAGMA data_version around
+    the whole read set; on a detected concurrent commit, rebuild once
+    inside a read transaction (Python fetch path), which WAL snapshots.
+    """
+    dv0 = _data_version(conn)
+    epoch = _build_epoch_reads(conn, version=version)
+    if _data_version(conn) == dv0:
+        return epoch
+    logger.warning(
+        "concurrent commit detected during epoch build; retrying under a read transaction"
+    )
+    if conn.in_transaction:  # caller already holds a snapshot; keep theirs
+        return _build_epoch_reads(conn, version=version)
+    _raw_cursor(conn).execute("BEGIN")
+    try:
+        # any read inside the transaction pins the WAL snapshot; the Python
+        # fetch path is used automatically (conn.in_transaction gate)
+        return _build_epoch_reads(conn, version=version)
+    finally:
+        conn.rollback()
+
+
+def _build_epoch_reads(conn: sqlite3.Connection, *, version: int) -> TagIndexEpoch:
     t0 = time.perf_counter()
     files = _raw_cursor(conn).execute(
         "SELECT id, path, mtime, size FROM files WHERE is_present = 1 ORDER BY id"
@@ -758,8 +808,11 @@ def _structure_fn(structure: tuple, slot_buckets: tuple[int, ...]):
     if len(_STRUCTURE_CACHE) >= _PER_EPOCH_CACHE_CAP:
         # bound the compiled-program cache: slot buckets track per-tag
         # posting lengths, so a long-lived serve process accumulates new
-        # (structure, buckets) variants as the catalog grows
-        _STRUCTURE_CACHE.clear()
+        # (structure, buckets) variants as the catalog grows.  Evict the
+        # oldest quarter (dict insertion order) — a full clear() would
+        # recompile every hot in-flight query shape at once.
+        for old in list(_STRUCTURE_CACHE)[: max(1, _PER_EPOCH_CACHE_CAP // 4)]:
+            del _STRUCTURE_CACHE[old]
     _STRUCTURE_CACHE[key] = fn
     return fn
 
@@ -823,7 +876,9 @@ def _query_tables(
         jnp.asarray(cat_gate),
     )
     if len(per_epoch) >= _PER_EPOCH_CACHE_CAP:
-        per_epoch.clear()
+        # oldest-quarter eviction, same rationale as _STRUCTURE_CACHE
+        for old in list(per_epoch)[: max(1, _PER_EPOCH_CACHE_CAP // 4)]:
+            del per_epoch[old]
     per_epoch[key] = entry
     return entry
 
@@ -841,8 +896,23 @@ def _topk_select(cols: list[np.ndarray], k: int) -> np.ndarray:
     n = len(cols[0])
     if k >= n or not cols:
         return np.arange(n)
+    sel = _topk_select_inner(cols, k)
+    if len(sel) < k:
+        # any NaN manifestation (NaN cutoff empties strict AND tied, NaN rows
+        # vanish from both sides of the partition) shows up as a short result
+        # — take the exact full-sort path rather than silently truncating
+        return np.arange(n)
+    return sel
+
+
+def _topk_select_inner(cols: list[np.ndarray], k: int) -> np.ndarray:
+    n = len(cols[0])
+    if k >= n:
+        return np.arange(n)
     c0 = cols[0]
     cutoff = c0[np.argpartition(c0, k - 1)[:k]].max()
+    if np.isnan(cutoff):
+        return np.arange(n)
     strict = np.nonzero(c0 < cutoff)[0]
     need = k - len(strict)
     if need <= 0:
@@ -852,7 +922,7 @@ def _topk_select(cols: list[np.ndarray], k: int) -> np.ndarray:
     if len(tied) <= need or len(cols) == 1:
         take = tied[:need] if len(cols) == 1 and len(tied) > need else tied
         return np.concatenate([strict, take])
-    sub = _topk_select([c[tied] for c in cols[1:]], need)
+    sub = _topk_select_inner([c[tied] for c in cols[1:]], need)
     return np.concatenate([strict, tied[sub]])
 
 
@@ -927,7 +997,6 @@ def search_epoch(
     # full multi-key lexsort (the measured host floor at 1M files)
     partial_ok = (
         k > 0
-        and order_by in ("relevance", "mtime", "id")
         and idx.size > _TOPK_MIN_HITS
         and k * 4 < idx.size
     )
@@ -936,6 +1005,8 @@ def search_epoch(
             cols = [-rel[idx], -epoch.mtimes[idx], epoch.file_ids[idx]]
         elif order_by == "mtime":
             cols = [-epoch.mtimes[idx], epoch.file_ids[idx]]
+        elif order_by == "path":
+            cols = [epoch.path_ranks[idx], epoch.file_ids[idx]]
         else:
             cols = [epoch.file_ids[idx]]
         sel = _topk_select(cols, k)
@@ -945,7 +1016,8 @@ def search_epoch(
     elif order_by == "mtime":
         order = np.lexsort((epoch.file_ids[idx], -epoch.mtimes[idx]))
     elif order_by == "path":
-        order = np.lexsort((epoch.file_ids[idx], np.array([epoch.paths[i] for i in idx])))
+        # integer ranks, order-isomorphic to the strings (see path_ranks)
+        order = np.lexsort((epoch.file_ids[idx], epoch.path_ranks[idx]))
     else:
         order = np.argsort(epoch.file_ids[idx], kind="stable")
     chosen = idx[order][offset : offset + limit]

@@ -123,6 +123,10 @@ class QueryServer:
         return {"stats": [dict(r) for r in rows]}
 
 
+# Largest accepted POST body (a /delta of ~1M changed ids is ~8 MB of JSON).
+_MAX_POST_BYTES = 32 * 1024 * 1024
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "ket-serve/1"
     core: QueryServer  # set via the server factory
@@ -179,6 +183,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(200, self.core.reload())
             elif url.path == "/delta":
                 length = int(self.headers.get("Content-Length", 0))
+                if length > _MAX_POST_BYTES:
+                    # bound request-body allocation: client-supplied
+                    # Content-Length is read fully into memory below
+                    self._reply(413, {"error": "request body too large"})
+                    return
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 ids = payload.get("changed_file_ids", [])
                 if not isinstance(ids, list):

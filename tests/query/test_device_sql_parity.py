@@ -62,7 +62,7 @@ def epoch(catalog):
 
 
 @pytest.mark.parametrize("query", QUERIES)
-@pytest.mark.parametrize("order_by", ["relevance", "mtime", "id"])
+@pytest.mark.parametrize("order_by", ["relevance", "mtime", "path", "id"])
 def test_device_matches_sql(catalog, epoch, query, order_by):
     thr = {}  # fallback thresholds
     frag = translate_query(query, thresholds=thr)
@@ -156,7 +156,8 @@ def test_search_epoch_partial_path_matches_sql(tmp_path, monkeypatch):
     epoch = eng.build_epoch(conn)
     thr = normalize_thresholds({})
     for q, order in (("common", "relevance"), ("common", "mtime"), ("common", "id"),
-                     ("common OR rare", "relevance")):
+                     ("common", "path"), ("common OR rare", "relevance"),
+                     ("common OR rare", "path")):
         dev = [
             r.file_id
             for r in eng.search_epoch(epoch, q, order_by=order, limit=25, offset=5)
@@ -219,4 +220,113 @@ def test_score_extrema_panels_all_operators(tmp_path):
             )
         ]
         assert dev == sql, q
+    conn.close()
+
+
+def test_topk_select_nan_falls_back_to_full_sort():
+    """NaN in the primary column must never silently truncate results
+    (advisor round 2): any NaN manifestation takes the exact full path."""
+    import numpy as np
+
+    import kobato_eyes_tpu.query.engine as eng
+
+    n = 1000
+    rng = np.random.default_rng(5)
+    base = rng.random(n)
+    ids = np.arange(n, dtype=np.int64)
+
+    # scattered NaNs: partition sorts them last, so the k smallest valid rows
+    # are still selected — equivalence with the full sort, no truncation
+    c0 = base.copy()
+    c0[::7] = np.nan
+    sel = eng._topk_select([c0, ids], 50)
+    assert len(sel) >= 50
+    full = np.lexsort((ids, c0))[:50]
+    sub = np.lexsort((ids[sel], c0[sel]))[:50]
+    np.testing.assert_array_equal(np.sort(sel[sub]), np.sort(full))
+
+    # every value NaN: cutoff is NaN, strict and tied both empty -> fallback
+    all_nan = np.full(n, np.nan)
+    sel = eng._topk_select([all_nan, ids], 50)
+    assert len(sel) == n
+
+    # more NaNs than n-k: fewer than k valid rows exist -> NaN cutoff -> fallback
+    mostly_nan = np.full(n, np.nan)
+    mostly_nan[:20] = base[:20]
+    sel = eng._topk_select([mostly_nan, ids], 50)
+    assert len(sel) == n
+
+    # clean data still selects exactly (sanity that the guard is inert)
+    sel = eng._topk_select([base, ids], 50)
+    assert len(sel) >= 50
+    full = np.lexsort((ids, base))[:50]
+    sub = np.lexsort((ids[sel], base[sel]))[:50]
+    np.testing.assert_array_equal(np.sort(sel[sub]), np.sort(full))
+
+
+def test_path_ranks_order_isomorphic_to_strings():
+    import numpy as np
+
+    import kobato_eyes_tpu.query.engine as eng
+
+    paths = [
+        "/b/x.png", "/a/z.png", "/a/b.png", "/c.png", "/a/b.png",
+        "/A/upper.png", "/a/éaccent.png", "/a/b2.png",
+    ]
+    epoch = eng.build_epoch.__globals__  # noqa: F841 — just to import module
+    # construct ranks directly as the property does
+    ranks = np.unique(np.asarray(paths), return_inverse=True)[1]
+    by_rank = np.lexsort((np.arange(len(paths)), ranks))
+    by_str = np.lexsort((np.arange(len(paths)), np.asarray(paths)))
+    np.testing.assert_array_equal(by_rank, by_str)
+
+
+def test_structure_cache_evicts_oldest_not_all():
+    import kobato_eyes_tpu.query.engine as eng
+
+    cache = {f"k{i}": i for i in range(eng._PER_EPOCH_CACHE_CAP)}
+    orig = eng._STRUCTURE_CACHE
+    try:
+        eng._STRUCTURE_CACHE = cache
+        # simulate the eviction block
+        if len(cache) >= eng._PER_EPOCH_CACHE_CAP:
+            for old in list(cache)[: max(1, eng._PER_EPOCH_CACHE_CAP // 4)]:
+                del cache[old]
+        assert "k0" not in cache  # oldest gone
+        assert f"k{eng._PER_EPOCH_CACHE_CAP - 1}" in cache  # newest kept
+        assert len(cache) > 0
+    finally:
+        eng._STRUCTURE_CACHE = orig
+
+
+def test_epoch_build_retries_on_concurrent_commit(tmp_path, monkeypatch):
+    """A data_version bump during the read set triggers one snapshot-
+    consistent rebuild under a read transaction (advisor round 2)."""
+    import kobato_eyes_tpu.query.engine as eng
+    from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
+    from kobato_eyes_tpu.db.repository import TaggingItem, upsert_file, write_tagging_batch
+
+    reset_bootstrap_cache()
+    conn = bootstrap(tmp_path / "dv.sqlite")
+    for i in range(20):
+        fid = upsert_file(conn, path=f"/dv/{i:02d}.png", mtime=1e9 + i)
+        write_tagging_batch(conn, [TaggingItem(fid, [("t", 0.9, 0)])])
+
+    calls = {"n": 0}
+    real_dv = eng._data_version
+
+    def fake_dv(c):
+        calls["n"] += 1
+        # first pair mismatches (simulated concurrent commit), later calls agree
+        if calls["n"] == 2:
+            return real_dv(c) + 1
+        return real_dv(c)
+
+    monkeypatch.setattr(eng, "_data_version", fake_dv)
+    epoch = eng.build_epoch(conn, version=3)
+    assert calls["n"] >= 2
+    assert epoch.num_files == 20
+    rows = eng.search_epoch(epoch, "t", limit=100)
+    assert len(rows) == 20
+    assert not conn.in_transaction  # retry transaction fully unwound
     conn.close()

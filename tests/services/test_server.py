@@ -145,3 +145,20 @@ def test_concurrent_searches_during_epoch_swaps(server):
     assert not errors, errors[:5]
     final = _get(f"{base}/search?q=dog&order=id&limit=100")
     assert len(final["results"]) == 6
+
+
+def test_oversized_post_body_rejected_413(server):
+    """A huge client-declared Content-Length must be rejected before the
+    body is read into memory (advisor round 2)."""
+    import urllib.error
+
+    base, _, _ = server
+    req = urllib.request.Request(
+        f"{base}/delta", data=b"{}", method="POST",
+        headers={"Content-Length": str(1 << 31)},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == 413
+    # server still alive and serving
+    assert _get(f"{base}/healthz")["files"] == 40
