@@ -15,7 +15,7 @@ dict or any mapping of numpy arrays with the same keys.
 from __future__ import annotations
 
 import logging
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
 
 import numpy as np
 
@@ -342,8 +342,167 @@ def clip_vit_params_from_torch_state(
     return {"vit": vit, "proj": {"kernel": get("proj")}}
 
 
-def import_torch_checkpoint(path: str, cfg: ViTConfig | SwinConfig) -> dict:
-    """Load a .pth/.pt/.safetensors file and convert (torch required)."""
+# ---------------------------------------------------------------------------
+# Checkpoint key/shape manifests
+#
+# Real checkpoints can't be downloaded in the build environment, so the
+# importers are validated against *recorded manifests*: the exact key -> shape
+# inventory a real timm/open_clip state dict carries for a given architecture.
+# tests/models/fixtures/*.manifest.json pin the two production targets
+# (wd-v1-4-swinv2-tagger-v2 class SwinV2-Base@448 and OpenAI CLIP ViT-B/32);
+# drift in importer naming against those manifests fails with named keys.
+# ---------------------------------------------------------------------------
+
+# Derived (non-learned) entries that appear in some torch state dicts but are
+# recomputed from config at load time; never required, never "unexpected".
+_DERIVED_KEY_SUFFIXES = (
+    "relative_coords_table",
+    "relative_position_index",
+    "attn_mask",
+    "k_bias",  # SwinV2 keeps k bias fixed at zero (buffer in timm)
+)
+
+
+def swin_state_manifest(
+    cfg: SwinConfig, *, head_style: str = "fc"
+) -> dict[str, tuple[int, ...]]:
+    """Expected timm ``SwinTransformerV2`` weight keys -> shapes for ``cfg``.
+
+    Matches timm's module tree (swin_transformer_v2.py): per-stage
+    ``layers.{s}``, downsample at the START of stages 1.., SwinV2 q/v biases,
+    CPB MLP (512 hidden), and a ``head.fc`` classifier (timm >= 0.9
+    ClassifierHead; ``head_style="flat"`` gives the older ``head.weight``).
+    Window size affects only derived buffers, which are excluded — the weight
+    manifest is window-independent.
+    """
+    d0, p = cfg.embed_dim, cfg.patch_size
+    m: dict[str, tuple[int, ...]] = {
+        "patch_embed.proj.weight": (d0, 3, p, p),
+        "patch_embed.proj.bias": (d0,),
+        "patch_embed.norm.weight": (d0,),
+        "patch_embed.norm.bias": (d0,),
+    }
+    hidden_cpb = 512
+    for s, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+        c = d0 * (2**s)
+        mlp = int(cfg.mlp_ratio * c)
+        if s > 0:
+            c_in = d0 * (2 ** (s - 1))
+            m[f"layers.{s}.downsample.reduction.weight"] = (2 * c_in, 4 * c_in)
+            m[f"layers.{s}.downsample.norm.weight"] = (2 * c_in,)
+            m[f"layers.{s}.downsample.norm.bias"] = (2 * c_in,)
+        for b in range(depth):
+            pre = f"layers.{s}.blocks.{b}."
+            m[pre + "norm1.weight"] = (c,)
+            m[pre + "norm1.bias"] = (c,)
+            m[pre + "attn.qkv.weight"] = (3 * c, c)
+            m[pre + "attn.q_bias"] = (c,)
+            m[pre + "attn.v_bias"] = (c,)
+            m[pre + "attn.logit_scale"] = (heads, 1, 1)
+            m[pre + "attn.cpb_mlp.0.weight"] = (hidden_cpb, 2)
+            m[pre + "attn.cpb_mlp.0.bias"] = (hidden_cpb,)
+            m[pre + "attn.cpb_mlp.2.weight"] = (heads, hidden_cpb)
+            m[pre + "attn.proj.weight"] = (c, c)
+            m[pre + "attn.proj.bias"] = (c,)
+            m[pre + "norm2.weight"] = (c,)
+            m[pre + "norm2.bias"] = (c,)
+            m[pre + "mlp.fc1.weight"] = (mlp, c)
+            m[pre + "mlp.fc1.bias"] = (mlp,)
+            m[pre + "mlp.fc2.weight"] = (c, mlp)
+            m[pre + "mlp.fc2.bias"] = (c,)
+    d_final = d0 * (2 ** (cfg.num_stages - 1))
+    m["norm.weight"] = (d_final,)
+    m["norm.bias"] = (d_final,)
+    head = "head.fc" if head_style == "fc" else "head"
+    m[f"{head}.weight"] = (cfg.num_classes, d_final)
+    m[f"{head}.bias"] = (cfg.num_classes,)
+    return m
+
+
+def clip_vit_state_manifest(
+    cfg: ViTConfig, *, embed_out: int = 512, prefix: str = "visual."
+) -> dict[str, tuple[int, ...]]:
+    """Expected OpenAI/open_clip CLIP visual-tower keys -> shapes for ``cfg``."""
+    d, p = cfg.hidden_dim, cfg.patch_size
+    mlp = cfg.mlp_dim
+    tokens = cfg.num_patches + 1
+    m: dict[str, tuple[int, ...]] = {
+        prefix + "conv1.weight": (d, 3, p, p),
+        prefix + "class_embedding": (d,),
+        prefix + "positional_embedding": (tokens, d),
+        prefix + "ln_pre.weight": (d,),
+        prefix + "ln_pre.bias": (d,),
+        prefix + "ln_post.weight": (d,),
+        prefix + "ln_post.bias": (d,),
+        prefix + "proj": (d, embed_out),
+    }
+    for i in range(cfg.depth):
+        pre = f"{prefix}transformer.resblocks.{i}."
+        m[pre + "ln_1.weight"] = (d,)
+        m[pre + "ln_1.bias"] = (d,)
+        m[pre + "attn.in_proj_weight"] = (3 * d, d)
+        m[pre + "attn.in_proj_bias"] = (3 * d,)
+        m[pre + "attn.out_proj.weight"] = (d, d)
+        m[pre + "attn.out_proj.bias"] = (d,)
+        m[pre + "ln_2.weight"] = (d,)
+        m[pre + "ln_2.bias"] = (d,)
+        m[pre + "mlp.c_fc.weight"] = (mlp, d)
+        m[pre + "mlp.c_fc.bias"] = (mlp,)
+        m[pre + "mlp.c_proj.weight"] = (d, mlp)
+        m[pre + "mlp.c_proj.bias"] = (d,)
+    return m
+
+
+class StateDictMismatch(ValueError):
+    """Importer/checkpoint naming drift, with the offending keys named."""
+
+
+def validate_state_against_manifest(
+    state: Mapping[str, Any],
+    manifest: Mapping[str, Sequence[int]],
+    *,
+    name: str = "checkpoint",
+) -> None:
+    """Strict key/shape check of ``state`` vs a recorded manifest.
+
+    Raises :class:`StateDictMismatch` listing every missing key, unexpected
+    key (derived buffers excluded), and shape mismatch — so drifted timm /
+    open_clip naming is rejected with actionable names instead of a deep
+    KeyError mid-conversion.
+    """
+    missing = [k for k in manifest if k not in state]
+    unexpected = [
+        k for k in state
+        if k not in manifest and not k.endswith(_DERIVED_KEY_SUFFIXES)
+    ]
+    bad_shapes = []
+    for k, want in manifest.items():
+        if k in state:
+            got = tuple(_np(state[k]).shape)
+            if got != tuple(want):
+                bad_shapes.append(f"{k}: state {got} != manifest {tuple(want)}")
+    if missing or unexpected or bad_shapes:
+        parts = []
+        if missing:
+            parts.append(f"missing keys ({len(missing)}): " + ", ".join(sorted(missing)[:20]))
+        if unexpected:
+            parts.append(
+                f"unexpected keys ({len(unexpected)}): " + ", ".join(sorted(unexpected)[:20])
+            )
+        if bad_shapes:
+            parts.append(f"shape mismatches ({len(bad_shapes)}): " + "; ".join(bad_shapes[:20]))
+        raise StateDictMismatch(f"{name} does not match manifest — " + "; ".join(parts))
+
+
+def import_torch_checkpoint(
+    path: str, cfg: ViTConfig | SwinConfig, *, strict: bool = True
+) -> dict:
+    """Load a .pth/.pt/.safetensors file and convert (torch required).
+
+    ``strict`` validates the state dict against the config's expected
+    manifest first, so naming/shape drift fails with every offending key
+    named instead of a deep KeyError mid-conversion.
+    """
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file  # type: ignore[import-not-found]
 
@@ -355,5 +514,10 @@ def import_torch_checkpoint(path: str, cfg: ViTConfig | SwinConfig) -> dict:
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
     if isinstance(cfg, SwinConfig):
+        if strict:
+            style = "fc" if "head.fc.weight" in state else "flat"
+            validate_state_against_manifest(
+                state, swin_state_manifest(cfg, head_style=style), name=str(path)
+            )
         return swin_params_from_torch_state(state, cfg)
     return vit_params_from_torch_state(state, cfg)

@@ -902,12 +902,13 @@ class BandedHammingScanner:
 
         if not out_i:
             return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
-        ei = np.concatenate(out_i)
-        ej = np.concatenate(out_j)
-        ed = np.concatenate(out_d)
-        key = ei * np.int64(n) + ej
-        _, first = np.unique(key, return_index=True)
-        return ei[first], ej[first], ed[first]
+        with metrics.timer("dup.scan.dedup"):
+            ei = np.concatenate(out_i)
+            ej = np.concatenate(out_j)
+            ed = np.concatenate(out_d)
+            key = ei * np.int64(n) + ej
+            _, first = np.unique(key, return_index=True)
+            return ei[first], ej[first], ed[first]
 
 
 # ---------------------------------------------------------------------------
