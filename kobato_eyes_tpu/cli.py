@@ -282,6 +282,11 @@ def cmd_dup(args) -> int:
             io_workers=settings.pipeline.io_workers,
         )
 
+    if args.audit:
+        from kobato_eyes_tpu.dup.audit import audit_clusters, summarize
+
+        print(summarize(audit_clusters(clusters)), file=sys.stderr)
+
     if args.trash_duplicates:
         # UI "trash checked" parity (dup_tab.py:816-836): non-keepers move to
         # the data-dir trash (reversible) and their rows go absent.
@@ -684,6 +689,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="move non-keepers to the data-dir trash and mark absent")
     p.add_argument("--sweep", action="store_true",
                    help="report cluster counts for every threshold 0..hamming")
+    p.add_argument("--audit", action="store_true",
+                   help="dense intra-cluster Hamming audit (diameter/mean/"
+                        "keeper eccentricity) for threshold tuning")
     p.set_defaults(fn=cmd_dup)
 
     p = sub.add_parser("stats", help="per-tag statistics")

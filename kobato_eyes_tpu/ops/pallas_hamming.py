@@ -7,9 +7,10 @@ popcount(hi_i ^ hi_j) + popcount(lo_i ^ lo_j) on the VPU with the hash words
 held in registers — no (N, N, 2) intermediate ever materializes in HBM,
 which is what the equivalent jnp broadcast would do.
 
-Used for dense verification workloads (pairwise distance matrices over
-cluster members, calibration sweeps); the production candidate scan uses the
-windowed sorted form (ops/hamming.py) which avoids the N² pair space
+Production consumer: the cluster cohesion audit (``dup/audit.py``, surfaced
+as ``ket dup --audit``) — full intra-cluster distance matrices that the
+windowed candidate scan never materializes.  The candidate scan itself uses
+the sorted windowed form (ops/hamming.py), which avoids the N² pair space
 entirely.  Falls back to interpreter mode off-TPU so tests run everywhere.
 """
 

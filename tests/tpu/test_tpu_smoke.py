@@ -207,3 +207,36 @@ def test_sharded_scan_on_tpu(tpu_backend, rng):
     got = {(int(lo[k]), int(hi[k]), int(d[k])) for k in first}
     ni, nj, nd = edge_scan_np(ph, keys, ok, hamming_threshold=6)
     assert got == {(int(a), int(c), int(e)) for a, c, e in zip(ni, nj, nd)}
+
+
+def test_cluster_audit_on_tpu(tpu_backend, rng):
+    """Production consumer of the Pallas pairwise kernel (ket dup --audit):
+    hardware parity of the cohesion stats against the numpy spec."""
+    from pathlib import Path
+
+    from kobato_eyes_tpu.dup.audit import audit_clusters, audit_clusters_np
+    from kobato_eyes_tpu.dup.types import (
+        DuplicateCluster,
+        DuplicateClusterEntry,
+        DuplicateFileMeta,
+    )
+
+    clusters = []
+    fid = 0
+    for size in (3, 8, 40, 2):
+        base = int(rng.integers(0, 1 << 63))
+        entries = []
+        for k in range(size):
+            h = base
+            for bit in rng.integers(0, 64, size=int(rng.integers(0, 6))):
+                h ^= 1 << int(bit)
+            entries.append(DuplicateClusterEntry(
+                DuplicateFileMeta(fid + k, Path(f"/t/{fid + k}.png"), 1,
+                                  None, None, h), None))
+        clusters.append(DuplicateCluster(files=entries, keeper_id=fid))
+        fid += size
+    got = audit_clusters(clusters)
+    want = audit_clusters_np(clusters)
+    for g, w in zip(got, want):
+        assert (g.size, g.diameter, g.keeper_max) == (w.size, w.diameter, w.keeper_max)
+        assert abs(g.mean_distance - w.mean_distance) < 1e-9
