@@ -49,6 +49,14 @@ class ViTConfig:
     ln_pre: bool = False
     patch_bias: bool = True
     act: str = "gelu"  # "gelu" | "quick_gelu"
+    # Performance knobs (numerics-preserving):
+    # unroll: lax.scan unroll factor for the block stack (depth = fully
+    # unrolled — lets XLA schedule across layer boundaries at a compile-time
+    # cost; 1 = the compact while-loop form).
+    unroll: int = 1
+    # attn_impl: "einsum" (explicit logits/softmax/weighted-sum),
+    # "fused" (jax.nn.dot_product_attention, XLA's canonical attention).
+    attn_impl: str = "einsum"
 
     @property
     def num_patches(self) -> int:
@@ -109,9 +117,14 @@ class Attention(nn.Module):
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         # (B, T, H, D) attention with f32 softmax accumulation.
         scale = head_dim**-0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits * scale, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        if cfg.attn_impl == "fused":
+            # XLA's canonical attention (same math: f32 logits accumulation,
+            # f32 softmax); gives the compiler the whole pattern to schedule
+            out = jax.nn.dot_product_attention(q, k, v, scale=scale)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            weights = jax.nn.softmax(logits * scale, axis=-1).astype(cfg.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         return nn.DenseGeneral(
             features=cfg.hidden_dim,
             axis=(-2, -1),
@@ -196,6 +209,7 @@ class ViT(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=cfg.depth,
+            unroll=max(1, cfg.unroll),
         )
         x, _ = scan(cfg, name="blocks")(x, None)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ln_final")(x)

@@ -79,6 +79,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--tags", type=int, default=10_000)
     parser.add_argument("--repeats", type=int, default=20)
     parser.add_argument("--db", help="reuse an existing bench catalog")
+    parser.add_argument(
+        "--orders-only", action="store_true",
+        help="skip the mixed workload; only time a broad query under every "
+             "order_by (path-rank scaling proof: path must stay within 2x of "
+             "mtime at 1M files)",
+    )
     args = parser.parse_args(argv)
 
     from kobato_eyes_tpu.db.connection import bootstrap
@@ -101,6 +107,33 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         epoch = build_epoch(conn)
         build_s = time.perf_counter() - t0
+
+        if args.orders_only:
+            broad = "tag_0"  # most popular tag: ~half the catalog hits
+            order_stats = {}
+            for order in ("relevance", "mtime", "path", "id"):
+                t0 = time.perf_counter()
+                hits = search_epoch(epoch, broad, order_by=order, limit=200)
+                warm_ms = (time.perf_counter() - t0) * 1000  # incl. rank build
+                times = []
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    search_epoch(epoch, broad, order_by=order, limit=200)
+                    times.append((time.perf_counter() - t0) * 1000)
+                order_stats[order] = {
+                    "p50_ms": round(float(np.percentile(times, 50)), 3),
+                    "first_ms": round(warm_ms, 3),
+                    "rows": len(hits),
+                }
+            print(json.dumps({
+                "metric": "query_order_by_p50_ms",
+                "files": args.files,
+                "orders": order_stats,
+                "path_vs_mtime": round(
+                    order_stats["path"]["p50_ms"] / order_stats["mtime"]["p50_ms"], 2
+                ),
+            }))
+            return 0
 
         thr = normalize_thresholds({})
         # warmup both backends
