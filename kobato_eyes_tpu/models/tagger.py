@@ -77,7 +77,17 @@ class JaxTagger:
         seed: int = 0,
         mesh: Any = None,
         bf16_params: bool = False,
+        fast_math: bool | None = None,
     ) -> None:
+        """``fast_math``: use the profiled-fast ViT forward on TPU — the
+        head-resident Pallas attention kernel plus tanh-gelu (measured
+        84 -> 50 ms per ViT-B/448 batch-32 step, 31% -> 51% MFU; max
+        per-label probability deviation vs the exact forward ~= 0.007).
+        ``None`` (default) auto-enables it on the TPU backend only; pass
+        ``False`` for bit-parity with the exact einsum/erf forward.
+        Only applies to explicitly-passed ``vit`` configs if they left the
+        knobs at their defaults.
+        """
         if labels is None and labels_path is not None:
             labels = load_labels(labels_path)
         if labels is None:
@@ -118,6 +128,16 @@ class JaxTagger:
             )
         else:
             self.cfg = vit or vit_config(preset, image_size=image_size, num_classes=len(self.labels))
+            if fast_math is None:
+                fast_math = jax.default_backend() == "tpu"
+            if (
+                fast_math
+                and self.cfg.attn_impl == "einsum"
+                and self.cfg.act == "gelu"
+            ):
+                import dataclasses as _dc
+
+                self.cfg = _dc.replace(self.cfg, attn_impl="pallas", act="gelu_tanh")
         if self.cfg.num_classes != len(self.labels):
             raise ValueError(
                 f"model head ({self.cfg.num_classes}) != label count ({len(self.labels)})"

@@ -55,7 +55,11 @@ class ViTConfig:
     # cost; 1 = the compact while-loop form).
     unroll: int = 1
     # attn_impl: "einsum" (explicit logits/softmax/weighted-sum),
-    # "fused" (jax.nn.dot_product_attention, XLA's canonical attention).
+    # "fused" (jax.nn.dot_product_attention, XLA's canonical attention),
+    # "flash" (Pallas TPU flash-attention: online softmax, never
+    # materializes the (T, T) logits in HBM — at 785 tokens the einsum form
+    # writes+reads ~34 GB of f32 logits per ViT-B forward, which is the
+    # measured 31%-MFU ceiling; TPU backend only).
     attn_impl: str = "einsum"
 
     @property
@@ -101,6 +105,43 @@ def vit_forward_flops(cfg: ViTConfig, batch_size: int, *, with_head: bool = True
     return float(batch_size) * (patch + cfg.depth * per_layer + head)
 
 
+def _flash_attention_padded(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """(B, T, H, D) flash attention for arbitrary T via segment-masked padding.
+
+    Pads the token axis to a 128-multiple for the Pallas kernel's block
+    grid; padded positions get segment id 0 (real tokens 1), so they only
+    attend each other and their garbage rows are sliced off.  Online
+    softmax in VMEM — no (T, T) HBM intermediate.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, t, h, d = q.shape
+    pad = (-t) % 128
+    tp = t + pad
+    qh = jnp.pad(q.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kh = jnp.pad(k.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vh = jnp.pad(v.transpose(0, 2, 1, 3), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    seg = jnp.concatenate(
+        [jnp.ones((b, t), jnp.int32), jnp.zeros((b, pad), jnp.int32)], axis=1
+    )
+    block = next(c for c in (512, 256, 128) if tp % c == 0)
+    sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    out = flash_attention(
+        qh, kh, vh, segment_ids=SegmentIds(seg, seg),
+        sm_scale=scale, block_sizes=sizes,
+    )
+    return out[:, :, :t, :].transpose(0, 2, 1, 3)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
@@ -114,10 +155,27 @@ class Attention(nn.Module):
             param_dtype=cfg.param_dtype,
             name="qkv",
         )(x)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         # (B, T, H, D) attention with f32 softmax accumulation.
         scale = head_dim**-0.5
-        if cfg.attn_impl == "fused":
+        if cfg.attn_impl == "pallas":
+            # packed path: the kernel blocks straight into the projection's
+            # (B, T, 3, H, D) output — no q/k/v slice copies materialize
+            from kobato_eyes_tpu.ops.pallas_attention import (
+                head_resident_attention_packed,
+            )
+
+            out = head_resident_attention_packed(qkv, scale=scale)
+            return nn.DenseGeneral(
+                features=cfg.hidden_dim,
+                axis=(-2, -1),
+                dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype,
+                name="proj",
+            )(out)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        if cfg.attn_impl == "flash":
+            out = _flash_attention_padded(q, k, v, scale)
+        elif cfg.attn_impl == "fused":
             # XLA's canonical attention (same math: f32 logits accumulation,
             # f32 softmax); gives the compiler the whole pattern to schedule
             out = jax.nn.dot_product_attention(q, k, v, scale=scale)
@@ -146,6 +204,11 @@ class Block(nn.Module):
         h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(h)
         if cfg.act == "quick_gelu":  # OpenAI CLIP: x * sigmoid(1.702 x)
             h = h * jax.nn.sigmoid(1.702 * h)
+        elif cfg.act == "gelu_tanh":
+            # perf knob: the exact-erf gelu lowers to a LUT epilogue that
+            # drags the fc2 fusion to ~35% MXU efficiency (trace r3);
+            # the tanh form stays polynomial (|err| <~ 1e-3 activation)
+            h = nn.gelu(h, approximate=True)
         else:
             h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)

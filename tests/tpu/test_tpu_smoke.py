@@ -240,3 +240,26 @@ def test_cluster_audit_on_tpu(tpu_backend, rng):
     for g, w in zip(got, want):
         assert (g.size, g.diameter, g.keeper_max) == (w.size, w.diameter, w.keeper_max)
         assert abs(g.mean_distance - w.mean_distance) < 1e-9
+
+
+def test_head_resident_attention_on_tpu(tpu_backend, rng):
+    """The ViT fast path's Pallas attention: hardware parity vs einsum."""
+    import jax
+    import jax.numpy as jnp
+
+    from kobato_eyes_tpu.ops.pallas_attention import (
+        head_resident_attention_packed,
+    )
+
+    b, t, h, d = 2, 785, 4, 64
+    qkv = jnp.asarray(rng.normal(size=(b, t, 3, h, d)).astype(np.float32), jnp.bfloat16)
+    scale = d**-0.5
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    want = jnp.einsum(
+        "bhqk,bkhd->bqhd", jax.nn.softmax(logits * scale, -1).astype(jnp.bfloat16), v
+    )
+    got = head_resident_attention_packed(qkv, scale=scale, interpret=False)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
+    )
