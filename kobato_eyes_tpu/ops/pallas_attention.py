@@ -47,12 +47,15 @@ def _attn_body(q, k, v, o_ref, out_index, *, scale: float):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (T, T) f32
     m = jnp.max(logits, axis=1, keepdims=True)
-    w = jnp.exp(logits - m)
-    s = jnp.sum(w, axis=1, keepdims=True)
-    w = (w / s).astype(v.dtype)
-    o_ref[out_index] = jax.lax.dot_general(
+    # unnormalized weights straight to the matmul dtype; normalize AFTER the
+    # PV product on the (T, D) output — saves a full (T, T) division pass
+    # (the kernel is VPU-bound: every T^2 elementwise pass is ~10% of it)
+    w = jnp.exp(logits - m).astype(v.dtype)
+    s = jnp.sum(w, axis=1, keepdims=True, dtype=jnp.float32)
+    o = jax.lax.dot_general(
         w, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    )
+    o_ref[out_index] = (o / s).astype(o_ref.dtype)
 
 
 def _attn_kernel4(q_ref, k_ref, v_ref, o_ref, *, scale: float):
