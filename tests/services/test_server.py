@@ -162,3 +162,47 @@ def test_oversized_post_body_rejected_413(server):
     assert exc_info.value.code == 413
     # server still alive and serving
     assert _get(f"{base}/healthz")["files"] == 40
+
+
+def test_dup_endpoint_clusters_and_audit(tmp_path):
+    """GET /dup serves the dup-tab workflow: clusters from catalog hashes,
+    steady-state token reuse across requests, optional cohesion audit."""
+    reset_bootstrap_cache()
+    db = tmp_path / "d.sqlite"
+    conn = bootstrap(db)
+    from kobato_eyes_tpu.db.repository import upsert_signatures
+
+    base = 0x1234_5678_9ABC_DEF0
+    rows = []
+    for i in range(12):
+        fid = upsert_file(conn, path=f"/d/{i:03d}.png", size=1000 + i, mtime=1e9)
+        write_tagging_batch(conn, [TaggingItem(fid, [("t", 0.9, 0)])])
+        # three planted clusters of 4 near-identical hashes each
+        h = base ^ (0xFFFF << (16 * (i // 4))) ^ (1 << (i % 4))
+        rows.append((fid, h, h))
+    with conn:
+        upsert_signatures(conn, rows)
+    conn.close()
+
+    httpd, core = make_server(db)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = httpd.server_address
+        base_url = f"http://{host}:{port}"
+        out = _get(f"{base_url}/dup?hamming=8&audit=1")
+        assert out["total_clusters"] == 3
+        assert all(len(c["members"]) == 4 for c in out["clusters"])
+        assert len(out["audit"]) == 3
+        assert all(a["diameter"] <= 8 for a in out["audit"])
+        # second request: steady-state (token = epoch version) and identical
+        again = _get(f"{base_url}/dup?hamming=8")
+        assert [c["keeper_id"] for c in again["clusters"]] == [
+            c["keeper_id"] for c in out["clusters"]
+        ]
+        # tighter threshold is a separate scanner/config, not a stale cache
+        tight = _get(f"{base_url}/dup?hamming=0")
+        assert tight["total_clusters"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
