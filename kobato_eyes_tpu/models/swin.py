@@ -41,6 +41,11 @@ class SwinConfig:
     num_classes: int = 8192
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # Performance knobs (see models/vit.py): "pallas" = window-resident
+    # Pallas cosine attention (no HBM logits; TPU backend, interpret on CPU);
+    # "gelu_tanh" = polynomial gelu that fuses into the matmul epilogue.
+    attn_impl: str = "einsum"  # "einsum" | "pallas"
+    act: str = "gelu"  # "gelu" | "gelu_tanh"
 
     @property
     def num_stages(self) -> int:
@@ -124,6 +129,7 @@ class WindowAttention(nn.Module):
     cfg: SwinConfig
     num_heads: int
     window_size: int
+    num_windows: int = 0  # windows per image (needed by the pallas path)
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None) -> Array:
@@ -134,19 +140,12 @@ class WindowAttention(nn.Module):
             features=(3, self.num_heads, head_dim),
             dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="qkv",
         )(x)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-
-        # SwinV2 cosine attention with learnable, clamped logit scale
-        q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-6)
-        k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-6)
         logit_scale = self.param(
             "logit_scale",
             lambda key, shape: jnp.full(shape, np.log(10.0), jnp.float32),
             (self.num_heads, 1, 1),
         )
         scale = jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-        attn = attn * scale[None]
 
         # log-CPB relative position bias: small MLP over log relative coords
         rel = jnp.asarray(
@@ -159,14 +158,30 @@ class WindowAttention(nn.Module):
             param_dtype=cfg.param_dtype, name="cpb_fc2",
         )(h1)  # (n, n, heads)
         bias = 16.0 * jax.nn.sigmoid(bias)
-        attn = attn + bias.transpose(2, 0, 1)[None]
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(-1, nw, self.num_heads, n, n) + mask[None, :, None]
-            attn = attn.reshape(-1, self.num_heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        if cfg.attn_impl == "pallas" and self.num_windows > 0:
+            from kobato_eyes_tpu.ops.pallas_window_attention import (
+                windowed_cosine_attention,
+            )
+
+            out = windowed_cosine_attention(
+                qkv, scale.reshape(self.num_heads), bias.transpose(2, 0, 1),
+                mask, n_windows=self.num_windows,
+            )
+        else:
+            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+            # SwinV2 cosine attention with learnable, clamped logit scale
+            q = q / jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True), 1e-6)
+            k = k / jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True), 1e-6)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+            attn = attn * scale[None]
+            attn = attn + bias.transpose(2, 0, 1)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(-1, nw, self.num_heads, n, n) + mask[None, :, None]
+                attn = attn.reshape(-1, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         return nn.DenseGeneral(
             features=c, axis=(-2, -1), dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name="proj",
@@ -191,7 +206,9 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         windows = _window_partition(x, w)
-        attn = WindowAttention(cfg, self.num_heads, w, name="attn")(windows, mask)
+        attn = WindowAttention(
+            cfg, self.num_heads, w, num_windows=(self.grid // w) ** 2, name="attn"
+        )(windows, mask)
         x = _window_reverse(attn, w, h, wd)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
@@ -200,7 +217,7 @@ class SwinBlock(nn.Module):
 
         shortcut = x
         hdn = nn.Dense(int(c * cfg.mlp_ratio), dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
-        hdn = nn.gelu(hdn, approximate=False)
+        hdn = nn.gelu(hdn, approximate=(cfg.act == "gelu_tanh"))
         hdn = nn.Dense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(hdn)
         return shortcut + nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm2")(hdn)
 
@@ -256,3 +273,32 @@ def init_swin_params(cfg: SwinConfig, seed: int = 0) -> Any:
     model = SwinV2(cfg)
     dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     return model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+
+def swin_forward_flops(cfg: SwinConfig, batch_size: int, *, with_head: bool = True) -> float:
+    """Analytic matmul FLOPs of one forward pass (2 FLOPs per MAC).
+
+    Counts qkv/proj/mlp projections, windowed attention (QK + PV inside
+    each window: 4*T*w^2*c per block), patch embed, patch-merging
+    reductions, and the head; norms/CPB-MLP omitted (sub-1%). Same role as
+    ``vit.vit_forward_flops`` for roofline/MFU accounting.
+    """
+    p = cfg.patch_size
+    t0 = (cfg.image_size // p) ** 2
+    total = 2.0 * t0 * (p * p * 3) * cfg.embed_dim  # patch embed
+    for s, (depth, _heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+        c = cfg.embed_dim * (2**s)
+        t = (cfg.grid(s)) ** 2
+        mlp = cfg.mlp_ratio * c
+        per_block = (
+            2 * t * c * 3 * c            # qkv
+            + 4 * t * (cfg.window_size**2) * c  # windowed QK + PV
+            + 2 * t * c * c              # out proj
+            + 2 * 2 * t * c * mlp        # fc1 + fc2
+        )
+        total += depth * per_block
+        if s < cfg.num_stages - 1:
+            total += 2 * (t / 4) * (4 * c) * (2 * c)  # patch merging
+    if with_head:
+        total += 2 * cfg.embed_dim * (2 ** (cfg.num_stages - 1)) * cfg.num_classes
+    return float(batch_size) * total

@@ -120,16 +120,24 @@ class JaxTagger:
             self.arch = "vit"
         else:
             self.arch = arch
+        if fast_math is None:
+            fast_math = jax.default_backend() == "tpu"
         if self.arch == "swinv2":
             from kobato_eyes_tpu.models.swin import swin_config
 
             self.cfg = swin or swin_config(
                 preset, image_size=image_size, num_classes=len(self.labels)
             )
+            if (
+                fast_math
+                and self.cfg.attn_impl == "einsum"
+                and self.cfg.act == "gelu"
+            ):
+                import dataclasses as _dc
+
+                self.cfg = _dc.replace(self.cfg, attn_impl="pallas", act="gelu_tanh")
         else:
             self.cfg = vit or vit_config(preset, image_size=image_size, num_classes=len(self.labels))
-            if fast_math is None:
-                fast_math = jax.default_backend() == "tpu"
             if (
                 fast_math
                 and self.cfg.attn_impl == "einsum"

@@ -252,7 +252,7 @@ def test_torch_swinv2_matches_flax_after_import(rng):
     np.testing.assert_allclose(got, want, atol=3e-4)
 
 
-def test_swinv2_checkpoint_golden_tags(tmp_path, rng):
+def test_swinv2_checkpoint_golden_tags(tmp_path):
     """End-to-end golden parity: torch SwinV2 state dict -> importer -> orbax
     checkpoint -> WD14Tagger(arch=swinv2).  The tagger's probabilities AND its
     selected tags for a fixture image must match the checkpoint's own torch
@@ -279,7 +279,10 @@ def test_swinv2_checkpoint_golden_tags(tmp_path, rng):
         labels=synthetic_labels(24), swin=cfg, checkpoint_path=ckpt,
         thresholds=thr, score_floor=0.05,
     )
-    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    # own deterministic rng: the shared session fixture's stream position
+    # depends on which tests ran before, which made the exact-rounding tag
+    # comparison below order-dependent (flaked at a 1e-4 round boundary)
+    img = np.random.default_rng(123).integers(0, 256, (20, 30, 3), dtype=np.uint8)
     batch = tagger.prepare_batch_from_rgb([img])
 
     x = np.asarray(normalize_on_device(jnp.asarray(batch), tagger.spec))
@@ -291,13 +294,15 @@ def test_swinv2_checkpoint_golden_tags(tmp_path, rng):
     np.testing.assert_allclose(got_probs, want_probs, atol=3e-5)
 
     results = tagger.infer_batch_prepared(batch)
-    got_tags = {p.name: round(p.score, 4) for p in results[0].tags}
+    got_tags = {p.name: p.score for p in results[0].tags}
     want_tags = {
-        m.name: round(float(want_probs[i]), 4)
+        m.name: float(want_probs[i])
         for i, m in enumerate(tagger.labels)
         if want_probs[i] >= max(thr.get(int(m.category), 1.0), tagger.score_floor)
     }
-    assert got_tags == want_tags and got_tags, (got_tags, want_tags)
+    assert got_tags.keys() == want_tags.keys() and got_tags, (got_tags, want_tags)
+    for name, score in got_tags.items():
+        assert abs(score - want_tags[name]) < 1e-4, (name, score, want_tags[name])
 
 
 class TorchCLIPVisual(torch.nn.Module):

@@ -263,3 +263,32 @@ def test_head_resident_attention_on_tpu(tpu_backend, rng):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
     )
+
+
+def test_windowed_cosine_attention_on_tpu(tpu_backend, rng):
+    """SwinV2 fast path's Pallas window attention: hardware parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from kobato_eyes_tpu.ops.pallas_window_attention import (
+        windowed_cosine_attention,
+    )
+
+    B, nW, n, H, hd = 2, 16, 196, 4, 32
+    qkv = jnp.asarray(rng.normal(size=(B * nW, n, 3, H, hd)), jnp.bfloat16)
+    scale = jnp.asarray(np.exp(rng.uniform(1.0, 2.0, H)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(H, n, n)).astype(np.float32))
+    q = qkv[..., 0, :, :].astype(jnp.float32)
+    k = qkv[..., 1, :, :].astype(jnp.float32)
+    v = qkv[..., 2, :, :]
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+    kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn) * scale[None, :, None, None]
+    attn = attn + bias[None]
+    want = jnp.einsum(
+        "bhnm,bmhd->bnhd", jax.nn.softmax(attn, -1).astype(jnp.bfloat16), v
+    )
+    got = windowed_cosine_attention(qkv, scale, bias, None, n_windows=nW, interpret=False)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
+    )
