@@ -46,6 +46,12 @@ class SwinConfig:
     # "gelu_tanh" = polynomial gelu that fuses into the matmul epilogue.
     attn_impl: str = "einsum"  # "einsum" | "pallas"
     act: str = "gelu"  # "gelu" | "gelu_tanh"
+    # QK matmul precision inside the pallas window kernel. Measured ladder
+    # on SwinV2-B/448 batch-32 (see ops/pallas_window_attention.py):
+    # "default" 86.6 ms / probs_err 0.0021, "bf16" 87.2 ms / same err
+    # (Mosaic's DEFAULT already runs f32 operands at 1-pass bf16 rate),
+    # "highest" (exact 6-pass f32) 99.1 ms / err 0.0027 vs exact einsum.
+    qk_precision: str = "default"
 
     @property
     def num_stages(self) -> int:
@@ -172,7 +178,7 @@ class WindowAttention(nn.Module):
             qkv = qkv_layer(xw)  # (B, nW, n, 3, H, hd)
             out = windowed_cosine_attention_packed(
                 qkv, scale.reshape(self.num_heads), bias.transpose(2, 0, 1),
-                mask,
+                mask, qk_precision=cfg.qk_precision,
             )  # (B, H, nW, n, hd)
             y = nn.DenseGeneral(
                 features=c, axis=(1, 4), dtype=cfg.dtype,

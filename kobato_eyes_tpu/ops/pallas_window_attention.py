@@ -24,9 +24,15 @@ middle head axis and singleton-inserting reshapes before the lane dim are
 both unsupported, and the head-leading-output variant hung the Mosaic
 compile for 50+ minutes.  The one whole-tensor (3, H, B, nW, n, hd)
 transpose XLA inserts for this layout is the cheapest legal option.
+(c) QK precision is NOT a lever: Mosaic's DEFAULT already runs the f32
+cosine-normalized operands at 1-pass bf16 MXU rate (explicit bf16 cast:
+87.2 ms vs 86.6 on the packed layout, same probs_err 0.0021), and exact
+6-pass f32 ("highest") costs 99.1 ms — the kernel's remaining ~24.5 ms is
+K=hd=32 / N-tile padding plus VPU softmax, not matmul passes.
 
 Numerics match models/swin.py's WindowAttention exactly (f32 normalize,
-f32 logits/softmax, -100.0 soft masks).
+f32 logits/softmax, -100.0 soft masks) up to the QK precision knob
+(default: bf16-rate matmul, probs-level deviation ~2e-3 on SwinV2-B).
 """
 
 from __future__ import annotations
@@ -39,7 +45,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _win_attn_kernel(scale_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
+def _win_attn_kernel(
+    scale_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, qk_precision
+):
     """One (batch, head): cosine attention over all nW windows in VMEM."""
     q = q_ref[0, 0, 0].astype(jnp.float32)  # (nW, n, hd)
     k = k_ref[0, 0, 0].astype(jnp.float32)
@@ -50,9 +58,19 @@ def _win_attn_kernel(scale_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     kn = k * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(k * k, axis=-1, keepdims=True), 1e-12)
     )
+    prec = None
+    if qk_precision == "bf16":
+        # cosine-normalized operands are in [-1, 1]; bf16 inputs with f32
+        # accumulation keep ~3 decimal digits on the logits while running
+        # the QK matmul at full 1-pass MXU rate
+        qn = qn.astype(jnp.bfloat16)
+        kn = kn.astype(jnp.bfloat16)
+    else:
+        prec = jax.lax.Precision(qk_precision)
     # batched over the window axis: (nW, n, hd) x (nW, n, hd) -> (nW, n, n)
     logits = jax.lax.dot_general(
-        qn, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        qn, kn, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
     )
     h_idx = pl.program_id(1)
     logits = logits * scale_ref[h_idx] + bias_ref[0]
@@ -66,8 +84,8 @@ def _win_attn_kernel(scale_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     o_ref[0, 0] = (o / s).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _win_attn_call(qkv, scale, bias, mask, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "qk_precision"))
+def _win_attn_call(qkv, scale, bias, mask, *, interpret: bool, qk_precision: str):
     """qkv (3, B, H, nW, n, hd); scale (H,) f32 pre-exp-clamped;
     bias (H, n, n) f32; mask (nW, n, n) f32 (zeros when unshifted)."""
     three, b, h, nw, n, hd = qkv.shape
@@ -83,7 +101,7 @@ def _win_attn_call(qkv, scale, bias, mask, *, interpret: bool):
         )
 
     return pl.pallas_call(
-        _win_attn_kernel,
+        functools.partial(_win_attn_kernel, qk_precision=qk_precision),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -115,6 +133,7 @@ def windowed_cosine_attention_packed(
     mask: jax.Array | None,
     *,
     interpret: bool | None = None,
+    qk_precision: str = "default",
 ) -> jax.Array:
     """SwinV2 window attention without HBM logits — head-major in and out.
 
@@ -131,6 +150,9 @@ def windowed_cosine_attention_packed(
       scale: (H,) f32 — exp-clamped per-head logit scale.
       bias: (H, n, n) f32 — CPB relative-position bias (16*sigmoid form).
       mask: (nW, n, n) f32 additive shift mask, or None.
+      qk_precision: QK matmul precision — "default" (bf16-rate, the
+        measured-fastest), "high"/"highest" (more bf16 passes / exact f32),
+        or "bf16" (cast operands, f32 accumulation).
 
     Returns (B, H, nW, n, hd).
     """
@@ -143,6 +165,7 @@ def windowed_cosine_attention_packed(
     return _win_attn_call(
         x, scale.astype(jnp.float32), bias.astype(jnp.float32),
         mask.astype(jnp.float32), interpret=bool(interpret),
+        qk_precision=qk_precision,
     )
 
 
