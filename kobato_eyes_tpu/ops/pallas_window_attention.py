@@ -75,6 +75,13 @@ def _win_attn_kernel(
     h_idx = pl.program_id(1)
     logits = logits * scale_ref[h_idx] + bias_ref[0]
     logits = logits + mask_ref[:]
+    # Row-max softmax shift.  A static shift (exp(logits - 60), saving this
+    # VPU pass, ~1.6 ms/forward) was measured and REJECTED: q and k are
+    # different projections, so no row has a guaranteed-large logit — the
+    # cosine-logit range with the clamped scale of 100 plus the -100 shift
+    # mask is ~232 wide, beyond f32 exp's ~192, and a masked row whose keys
+    # anti-correlate with its query underflows the whole row to 0/0 = NaN
+    # (caught by test_static_shift_safe_at_production_bounds).
     m = jnp.max(logits, axis=2, keepdims=True)
     w = jnp.exp(logits - m).astype(v.dtype)
     s = jnp.sum(w, axis=2, keepdims=True, dtype=jnp.float32)

@@ -46,6 +46,26 @@ def test_matches_einsum_reference(dims, masked):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+def test_static_shift_safe_at_production_bounds():
+    """Worst-case SwinV2 logit bounds: clamped scale 100, CPB bias at its
+    16*sigmoid ceiling, soft -100 shift mask.  The kernel's static softmax
+    shift (no per-row max pass) must neither overflow nor zero a row."""
+    B, nW, n, H, hd = 1, 4, 196, 2, 32
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.normal(size=(B * nW, n, 3, H, hd)).astype(np.float32))
+    scale = jnp.full((H,), 100.0, jnp.float32)  # exp-clamp ceiling
+    bias = jnp.full((H, n, n), 16.0, jnp.float32)  # sigmoid ceiling
+    # one window fully masked off-diagonal: rows survive on the diagonal only
+    m = np.zeros((nW, n, n), np.float32)
+    m[0] = -100.0
+    np.fill_diagonal(m[0], 0.0)
+    mask = jnp.asarray(m)
+    want = _ref(qkv, scale, bias, mask, H, n, nW)
+    got = windowed_cosine_attention(qkv, scale, bias, mask, n_windows=nW)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
 def test_swin_model_parity_with_pallas_attention():
     from kobato_eyes_tpu.models.swin import SwinV2, init_swin_params, swin_config
 
