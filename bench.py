@@ -118,6 +118,21 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Cold-path reference point (fresh engine, no snapshot caches; XLA
+    # compile cache shared process-wide): what the FIRST scan of a new
+    # catalog pays.  Reported for transparency next to the steady-state
+    # headline — the interactive re-scan is the production workload.
+    cold_scanner = TpuDuplicateScanner(config, block=4096)
+    t0 = time.perf_counter()
+    cold_clusters = cold_scanner.build_clusters(files)
+    cold_s = time.perf_counter() - t0
+    assert cluster_ids(cold_clusters) == cluster_ids(device_clusters)
+    print(
+        f"cold scan (fresh engine, compiled) {cold_s:.3f}s "
+        f"= {pair_space / cold_s:.3g} pairs/s",
+        file=sys.stderr,
+    )
+
     # --- CPU reference on the same data ---
     cpu_n = n
     est = None
@@ -154,7 +169,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "dup_scan_pairs_per_sec_70k",
+                "metric": f"dup_scan_pairs_per_sec_{n // 1000}k",
                 "value": round(device_pps, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(device_pps / cpu_pps, 2),
