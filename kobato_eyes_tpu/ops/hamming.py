@@ -515,73 +515,49 @@ def _scan_bitmask_kernel(
     return bits
 
 
-@partial(
-    jax.jit,
-    static_argnames=("window", "max_edges", "use_size", "use_ok", "band_count"),
-)
-def _scan_resident_kernel(
+@partial(jax.jit, static_argnames=("window",))
+def _scan_bitmask_words_kernel(
     ph: jnp.ndarray,  # (N, 2) uint32 [hi, lo] — device-resident
-    sizes: jnp.ndarray,  # (N,) float32
     order: jnp.ndarray,  # (B, N) int32 per-band sort order (digest-cached)
     sk: jnp.ndarray,  # (B, N) uint32 sorted band keys (digest-cached)
-    ok: jnp.ndarray,  # (N, B) bool bucket-cap mask (dummy when not use_ok)
     hamming_threshold: jnp.ndarray,
-    size_ratio: jnp.ndarray,
     *,
     window: int,
-    max_edges: int,
-    use_size: bool,
-    use_ok: bool,
-    band_count: int,
 ):
-    """Windowed compare + edge extraction over pre-sorted resident hashes —
-    returns GLOBAL indices so the host does no permutation mapping.  The
-    bucket-cap mask operand is only uploaded/applied when a pair cap is set
-    (use_ok); the common cap-free scan skips that host->device transfer."""
-    n = ph.shape[0]
-    hi = ph[:, 0]
-    lo = ph[:, 1]
-    shi = hi[order]
-    slo = lo[order]
-    ssz = sizes[order]
+    """Wide-window (>32) variant of :func:`_scan_bitmask_kernel`: the per-row
+    match mask spans ceil(window/32) uint32 planes — plane w's bit b set means
+    an edge to the (w*32 + b + 1)-th next sorted row.  Same O(N * window)
+    shifted-compare structure (static slices, pure vector work, no gathers)
+    and the same fixed output shape discipline, just (n_words, B, N).
 
-    nb = band_count
-    col = jax.lax.broadcasted_iota(jnp.int32, (nb, window, n), 2)
-    dd = jax.lax.broadcasted_iota(jnp.int32, (nb, window, n), 1) + 1
-    jj = col + dd
-    valid = jj < n
-    jjc = jnp.minimum(jj, n - 1)
-    gather = lambda arr: jnp.take_along_axis(arr[:, None, :], jjc, axis=2)  # noqa: E731
-
-    eq = (sk[:, None, :] == gather(sk)) & valid
-    if use_ok:
-        sok = jnp.take_along_axis(ok.T, order, axis=1)
-        eq &= sok[:, None, :] & gather(sok)
-    dist = (
-        jax.lax.population_count(shi[:, None, :] ^ gather(shi))
-        + jax.lax.population_count(slo[:, None, :] ^ gather(slo))
-    ).astype(jnp.int32)
-    mask = eq & (dist <= hamming_threshold)
-    if use_size:
-        si = ssz[:, None, :]
-        sj = gather(ssz)
-        smaller = jnp.minimum(si, sj)
-        larger = jnp.maximum(si, sj)
-        mask &= (smaller <= 0) | (smaller / jnp.maximum(larger, 1.0) >= size_ratio)
-
-    n_edges = jnp.sum(mask, dtype=jnp.int32)
-    b_idx, w_idx, i_idx = jnp.nonzero(mask, size=max_edges, fill_value=-1)
-    j_idx = jnp.minimum(i_idx + w_idx + 1, n - 1)
-    gi = jnp.where(b_idx >= 0, order[jnp.maximum(b_idx, 0), i_idx], -1)
-    gj = jnp.where(b_idx >= 0, order[jnp.maximum(b_idx, 0), j_idx], -1)
-    d_out = jnp.where(b_idx >= 0, dist[jnp.maximum(b_idx, 0), w_idx, i_idx], -1)
-    # Single packed output, ONE device->host transfer (round trips and
-    # transfer bytes dominate on tunneled chips): row0 = gi (or -1 padding),
-    # row1 = gj | dist<<20 (gj < 2^20 is asserted by the caller); the edge
-    # count rides in the reserved last slot of row0.
-    packed_j = jnp.where(gj >= 0, gj | (d_out << 20), -1)
-    row0 = gi.at[max_edges - 1].set(n_edges)
-    return jnp.stack([row0, packed_j])
+    This replaced the former gather/nonzero formulation wholesale: that
+    kernel materialized (B, window, N) gathered intermediates plus a
+    dynamic-size edge compaction with a cap/retry protocol, measured 23.5 s
+    for n=1M / window=64 on v5e where this one runs the same work as ~60
+    dense shifted passes; it also packed row indices into 20 bits, capping
+    the resident scan at n < 2^20 — a limit this kernel does not have."""
+    nb, n = sk.shape
+    shi = ph[:, 0][order]
+    slo = ph[:, 1][order]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
+    planes = []
+    for w in range((window + 31) // 32):
+        bits = jnp.zeros((nb, n), jnp.uint32)
+        for b in range(min(32, window - w * 32)):
+            d = w * 32 + b + 1
+            pad_k = jnp.full((nb, d), 0, sk.dtype)
+            pad_h = jnp.zeros((nb, d), shi.dtype)
+            sk_d = jnp.concatenate([sk[:, d:], pad_k], axis=1)
+            hi_d = jnp.concatenate([shi[:, d:], pad_h], axis=1)
+            lo_d = jnp.concatenate([slo[:, d:], pad_h], axis=1)
+            dist = (
+                jax.lax.population_count(shi ^ hi_d)
+                + jax.lax.population_count(slo ^ lo_d)
+            ).astype(jnp.int32)
+            hit = (sk == sk_d) & (pos < n - d) & (dist <= hamming_threshold)
+            bits = bits | (hit.astype(jnp.uint32) << jnp.uint32(b))
+        planes.append(bits)
+    return jnp.stack(planes)
 
 
 class BandedHammingScanner:
@@ -610,7 +586,6 @@ class BandedHammingScanner:
         self._mesh = mesh
         self._digest: bytes | None = None
         self._ph_dev: jnp.ndarray | None = None
-        self._sizes_dev: jnp.ndarray | None = None
         self._order_dev: jnp.ndarray | None = None
         self._sk_dev: jnp.ndarray | None = None
         self._order_host: np.ndarray | None = None
@@ -636,7 +611,6 @@ class BandedHammingScanner:
         if digest == self._digest:
             return
         self._ph_dev = jnp.asarray(u64_to_u32pair(ph_u64))
-        self._sizes_dev = jnp.asarray(sizes.astype(np.float32))
         # per-band sort is population-only: compute once, reuse across
         # thresholds/sweeps (the scan's largest device cost)
         self._order_dev, self._sk_dev = _band_sort_kernel(
@@ -778,38 +752,52 @@ class BandedHammingScanner:
         out_i: list[np.ndarray] = []
         out_j: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        if 0 < window <= 32:
-            # dense bitmask path: fixed-shape output, no caps, no gathers
+        if window > 0:
+            # dense bitmask path: fixed-shape output, no caps, no gathers;
+            # windows beyond one mask word emit ceil(window/32) uint32 planes
             thr_dev = self._dev_const(
                 ("thr", int(hamming_threshold)),
                 lambda: jnp.int32(hamming_threshold),
             )
             with metrics.timer("dup.scan.device"):
-                bits = np.asarray(
-                    _scan_bitmask_kernel(
-                        self._ph_dev, self._order_dev, self._sk_dev, thr_dev,
-                        window=window,
+                if window <= 32:
+                    planes = np.asarray(
+                        _scan_bitmask_kernel(
+                            self._ph_dev, self._order_dev, self._sk_dev, thr_dev,
+                            window=window,
+                        )
+                    ).astype(np.uint32)[None]
+                else:
+                    planes = np.asarray(
+                        _scan_bitmask_words_kernel(
+                            self._ph_dev, self._order_dev, self._sk_dev, thr_dev,
+                            window=window,
+                        )
                     )
-                ).astype(np.uint32)
             with metrics.timer("dup.scan.expand"):
                 order_h = self._order_np()
-                b_hit, i_hit = np.nonzero(bits)
-                w_hit = bits[b_hit, i_hit]
-                for d in range(1, window + 1):
-                    sel = (w_hit >> np.uint32(d - 1)) & 1 == 1
-                    if not sel.any():
+                for wi in range(planes.shape[0]):
+                    bits = planes[wi]
+                    b_hit, i_hit = np.nonzero(bits)
+                    if b_hit.size == 0:
                         continue
-                    bsel = b_hit[sel]
-                    isel = i_hit[sel]
-                    gi = order_h[bsel, isel]
-                    gj = order_h[bsel, isel + d]
-                    ei_w = np.minimum(gi, gj)
-                    ej_w = np.maximum(gi, gj)
-                    if use_ok:
-                        keep = ok[ei_w, bsel] & ok[ej_w, bsel]
-                        ei_w, ej_w = ei_w[keep], ej_w[keep]
-                    out_i.append(ei_w)
-                    out_j.append(ej_w)
+                    w_hit = bits[b_hit, i_hit]
+                    for bit in range(min(32, window - wi * 32)):
+                        sel = (w_hit >> np.uint32(bit)) & 1 == 1
+                        if not sel.any():
+                            continue
+                        d = wi * 32 + bit + 1
+                        bsel = b_hit[sel]
+                        isel = i_hit[sel]
+                        gi = order_h[bsel, isel]
+                        gj = order_h[bsel, isel + d]
+                        ei_w = np.minimum(gi, gj)
+                        ej_w = np.maximum(gi, gj)
+                        if use_ok:
+                            keep = ok[ei_w, bsel] & ok[ej_w, bsel]
+                            ei_w, ej_w = ei_w[keep], ej_w[keep]
+                        out_i.append(ei_w)
+                        out_j.append(ej_w)
                 if out_i:
                     ei_all = np.concatenate(out_i)
                     ej_all = np.concatenate(out_j)
@@ -820,53 +808,6 @@ class BandedHammingScanner:
                         ei_all, ej_all = ei_all[keep], ej_all[keep]
                     d_all = popcount64_np(ph_u64[ei_all] ^ ph_u64[ej_all]).astype(np.int64)
                     out_i, out_j, out_d = [ei_all], [ej_all], [d_all]
-        elif window > 0:
-            # wide windows (rare, dense populations): legacy packed-edge path
-            if n >= (1 << 20):
-                raise ValueError(
-                    "resident scan packs row indices into 20 bits (n < 1M); "
-                    "shard larger populations (parallel/sharded_scan.py)"
-                )
-            ok_dev = (
-                jnp.asarray(ok) if use_ok
-                else self._dev_const(("ok_dummy",), lambda: jnp.zeros((1, 1), bool))
-            )
-            thr_dev = self._dev_const(
-                ("thr", int(hamming_threshold)),
-                lambda: jnp.int32(hamming_threshold),
-            )
-            relaxed = (size_ratio or 0.0) * (1.0 - _SIZE_RATIO_F32_SLACK)
-            ratio_dev = self._dev_const(
-                ("ratio", relaxed), lambda: jnp.float32(relaxed)
-            )
-            cap = self.max_edges_hint
-            with metrics.timer("dup.scan.device"):
-                while True:
-                    packed = np.asarray(
-                        _scan_resident_kernel(
-                            self._ph_dev, self._sizes_dev,
-                            self._order_dev, self._sk_dev, ok_dev,
-                            thr_dev, ratio_dev,
-                            window=window, max_edges=cap, use_size=use_size,
-                            use_ok=use_ok, band_count=self.band_count,
-                        )
-                    )  # one transfer: row0 = gi (+count in last slot), row1 = gj|d<<20
-                    count = int(packed[0, cap - 1])
-                    if count <= cap - 1:
-                        break
-                    cap = int(2 ** np.ceil(np.log2(count + 2)))
-            gi = packed[0, :count].astype(np.int64)
-            pj = packed[1, :count].astype(np.int64)
-            gj = pj & ((1 << 20) - 1)
-            d = pj >> 20
-            ei_w = np.minimum(gi, gj)
-            ej_w = np.maximum(gi, gj)
-            if use_size:
-                keep = _exact_size_ratio_keep(ei_w, ej_w, sizes_f, float(size_ratio))
-                ei_w, ej_w, d = ei_w[keep], ej_w[keep], d[keep]
-            out_i.append(ei_w)
-            out_j.append(ej_w)
-            out_d.append(d)
 
         # oversized buckets -> exact host fallback (same as edge_scan_banded)
         if max_run - 1 > window:

@@ -70,20 +70,16 @@ def test_resident_size_ratio_and_cap(rng):
     assert _edges_set(bi, bj, bd) == _edges_set(ni, nj, nd)
 
 
-def test_resident_wide_window_legacy_path(rng):
-    """Populations with bucket runs > 32 take the packed-edge kernel (the
-    bitmask path is capped at 32 bits); edge parity must hold there too."""
-    from kobato_eyes_tpu.ops.hamming import (
-        BandedHammingScanner,
-        band_keys_np,
-        bucket_ok_np,
-        edge_scan_np,
-    )
-
-    # 60 hashes sharing band 0 (same low 16 bits) forces max_run >= 60
+@pytest.mark.parametrize("run_len", [60, 140])
+def test_resident_wide_window_multiplane(rng, run_len):
+    """Populations with bucket runs > 32 take the multi-plane bitmask kernel
+    (run 60 -> window 64 = 2 uint32 planes, run 140 -> window 256 = 8);
+    edge parity with the brute-force spec must hold there too."""
+    # run_len hashes sharing band 0 (same low 16 bits) force max_run >= run_len
     base = np.uint64(0xABCD)
     ph = np.array(
-        [(np.uint64(int(rng.integers(0, 1 << 48))) << np.uint64(16)) | base for _ in range(60)]
+        [(np.uint64(int(rng.integers(0, 1 << 48))) << np.uint64(16)) | base
+         for _ in range(run_len)]
         + list(rng.integers(0, 1 << 64, size=80, dtype=np.uint64)),
         dtype=np.uint64,
     )
@@ -92,5 +88,4 @@ def test_resident_wide_window_legacy_path(rng):
     keys = band_keys_np(ph, 16, 4)
     ok = bucket_ok_np(keys, None)
     ni, nj, nd = edge_scan_np(ph, keys, ok, hamming_threshold=10)
-    assert {(int(a), int(b), int(c)) for a, b, c in zip(ei, ej, d)} == \
-        {(int(a), int(b), int(c)) for a, b, c in zip(ni, nj, nd)}
+    assert _edges_set(ei, ej, d) == _edges_set(ni, nj, nd)
