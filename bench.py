@@ -123,13 +123,18 @@ def main() -> None:
     # catalog pays.  Reported for transparency next to the steady-state
     # headline — the interactive re-scan is the production workload.
     cold_scanner = TpuDuplicateScanner(config, block=4096)
+    metrics.reset()
     t0 = time.perf_counter()
     cold_clusters = cold_scanner.build_clusters(files)
     cold_s = time.perf_counter() - t0
+    cold_phases = {
+        name: round(stats["total"], 4)
+        for name, stats in metrics.snapshot()["timers"].items()
+    }
     assert cluster_ids(cold_clusters) == cluster_ids(device_clusters)
     print(
         f"cold scan (fresh engine, compiled) {cold_s:.3f}s "
-        f"= {pair_space / cold_s:.3g} pairs/s",
+        f"= {pair_space / cold_s:.3g} pairs/s, phases: {cold_phases}",
         file=sys.stderr,
     )
 

@@ -46,3 +46,52 @@ raise RuntimeError("intentional crash for test")
     content = log.read_text()
     assert "intentional crash for test" in content
     assert "unhandled exception" in content
+
+
+def test_crash_handlers_in_process(tmp_path):
+    """Thread excepthook + sys excepthook write structured entries; hooks are
+    restored afterwards so the test harness keeps its own hooks."""
+    import logging
+    import sys
+    import threading
+
+    import faulthandler
+
+    from kobato_eyes_tpu.utils import crash
+
+    prev_sys_hook = sys.excepthook
+    prev_thread_hook = threading.excepthook
+    chained = []
+    try:
+        # a recording "previous" hook proves the installed hook chains to it
+        sys.excepthook = lambda *a: chained.append(a)
+        log_path = crash.install_crash_handlers(tmp_path)
+        assert log_path == tmp_path / "crash.log"
+        assert faulthandler.is_enabled()
+        logging.getLogger("kobato_eyes_tpu.utils.crash").disabled = True
+
+        # thread exception path: excepthook fires without killing the test
+        def boom():
+            raise ValueError("thread-kaboom")
+
+        t = threading.Thread(target=boom, name="crashy")
+        t.start()
+        t.join()
+
+        # unhandled-exception path, invoked the way the interpreter would
+        try:
+            raise RuntimeError("main-kaboom")
+        except RuntimeError:
+            sys.excepthook(*sys.exc_info())
+        assert len(chained) == 1 and chained[0][1].args == ("main-kaboom",)
+    finally:
+        logging.getLogger("kobato_eyes_tpu.utils.crash").disabled = False
+        sys.excepthook = prev_sys_hook
+        threading.excepthook = prev_thread_hook
+        faulthandler.disable()
+
+    content = (tmp_path / "crash.log").read_text()
+    assert "thread crashy exception" in content
+    assert "thread-kaboom" in content
+    assert "unhandled exception" in content
+    assert "main-kaboom" in content
