@@ -515,6 +515,23 @@ def _scan_bitmask_kernel(
     return bits
 
 
+@jax.jit
+def _max_run_kernel(sk: jnp.ndarray) -> jnp.ndarray:
+    """Longest equal-key run across the per-band sorted key rows (B, N).
+
+    Window sizing needs only this one scalar; computing it where the sorted
+    keys already live avoids re-deriving band keys on the host (band_keys_np
+    + np.unique cost seconds at n = millions, and the sorted arrays are
+    digest-cached on device anyway)."""
+    nb, n = sk.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nb, n), 1)
+    is_start = jnp.concatenate(
+        [jnp.ones((nb, 1), bool), sk[:, 1:] != sk[:, :-1]], axis=1
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0), axis=1)
+    return jnp.max(iota - run_start) + 1
+
+
 @partial(jax.jit, static_argnames=("window",))
 def _scan_bitmask_words_kernel(
     ph: jnp.ndarray,  # (N, 2) uint32 [hi, lo] — device-resident
@@ -731,18 +748,15 @@ class BandedHammingScanner:
         with metrics.timer("dup.scan.upload"):
             self._ensure_resident(ph_u64, sizes_f)
 
-        # host: bucket stats — the cap mask only when a pair cap is set, and
-        # max-run window sizing only once per resident population
+        # bucket stats: max-run window sizing comes off the device-resident
+        # sorted keys (once per population); the host cap mask only when a
+        # pair cap is set
         with metrics.timer("dup.scan.bucket_stats"):
             keys = None
-            if use_ok or self._max_run == 0:
+            if use_ok:
                 keys = band_keys_np(ph_u64, self.band_bits, self.band_count)
             if self._max_run == 0:
-                max_run = 1
-                for b in range(self.band_count):
-                    _, counts = np.unique(keys[:, b], return_counts=True)
-                    max_run = max(max_run, int(counts.max()))
-                self._max_run = max_run
+                self._max_run = int(_max_run_kernel(self._sk_dev))
             max_run = self._max_run
             ok = bucket_ok_np(keys, bucket_pair_cap) if use_ok else None
         window = min(max_run - 1, self.max_window, n - 1)
