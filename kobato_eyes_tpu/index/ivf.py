@@ -34,15 +34,25 @@ def _lloyd_step(data: jnp.ndarray, centroids: jnp.ndarray, *, n_clusters: int):
 
 
 def kmeans(
-    data: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 0
+    data: np.ndarray,
+    n_clusters: int,
+    *,
+    iters: int = 10,
+    seed: int = 0,
+    data_dev: "jnp.ndarray | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Spherical k-means on device. Returns (centroids, assignments)."""
+    """Spherical k-means on device. Returns (centroids, assignments).
+
+    ``data_dev``: optional already-uploaded (and normalized) device copy of
+    ``data`` — callers that keep the corpus resident (IvfFlatIndex) pass it
+    so the build doesn't pay a second multi-GB host->device transfer."""
     vecs = np.asarray(data, dtype=np.float32)
     norms = np.linalg.norm(vecs, axis=1, keepdims=True)
     vecs = vecs / np.maximum(norms, 1e-30)
     rng = np.random.default_rng(seed)
     init = vecs[rng.choice(len(vecs), size=n_clusters, replace=False)]
-    data_dev = jnp.asarray(vecs)
+    if data_dev is None:
+        data_dev = jnp.asarray(vecs)
     cent = jnp.asarray(init)
     assign = None
     for _ in range(iters):
@@ -103,7 +113,10 @@ class IvfFlatIndex:
         n_clusters = min(n_clusters, n)
         self.n_clusters = n_clusters
 
-        centroids, assign = kmeans(vecs, n_clusters, iters=train_iters, seed=seed)
+        corpus_dev = jnp.asarray(vecs)  # single upload, reused by the search
+        centroids, assign = kmeans(
+            vecs, n_clusters, iters=train_iters, seed=seed, data_dev=corpus_dev
+        )
         counts = np.bincount(assign, minlength=n_clusters)
         pad = int(counts.max()) if max_list_pad is None else min(int(counts.max()), max_list_pad)
         pad = max(pad, 1)
@@ -149,7 +162,7 @@ class IvfFlatIndex:
         # table (kept for introspection/tests — no reason to burn HBM on it)
         self._members = members
         self._assign_list = jnp.asarray(assign_list)
-        self._corpus = jnp.asarray(vecs)
+        self._corpus = corpus_dev
         self.dim = vecs.shape[1]
 
     def __len__(self) -> int:
