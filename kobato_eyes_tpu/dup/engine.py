@@ -131,8 +131,10 @@ class TpuDuplicateScanner:
             ):
                 # unchanged snapshot + identical edges -> identical clusters;
                 # reconstructing ~2 objects/member would rebuild what we
-                # already hold.  Outer list copied so callers may reorder.
-                clusters = list(memo[2])
+                # already hold.  Each cluster's mutable .files list is copied
+                # too (not just the outer list) so caller-side sorting or
+                # filtering can never poison the memo.
+                clusters = [c._replace(files=list(c.files)) for c in memo[2]]
             else:
                 # index-space fast path: no id->meta dict, no id-sort node
                 # discovery
@@ -141,8 +143,13 @@ class TpuDuplicateScanner:
                     key_cache=self._key_cache, column_cache=self._column_cache,
                 )
                 if files_token is not None:
-                    # private copy: callers may reorder the returned list
-                    self._assembly_memo = (files_token, (ei, ej, dists), list(clusters))
+                    # private snapshot down to the per-cluster files lists:
+                    # the caller owns the returned objects and may mutate them
+                    self._assembly_memo = (
+                        files_token,
+                        (ei, ej, dists),
+                        [c._replace(files=list(c.files)) for c in clusters],
+                    )
         logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
         return clusters
 

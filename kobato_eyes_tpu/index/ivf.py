@@ -47,12 +47,19 @@ def kmeans(
     ``data`` — callers that keep the corpus resident (IvfFlatIndex) pass it
     so the build doesn't pay a second multi-GB host->device transfer."""
     vecs = np.asarray(data, dtype=np.float32)
-    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-    vecs = vecs / np.maximum(norms, 1e-30)
     rng = np.random.default_rng(seed)
-    init = vecs[rng.choice(len(vecs), size=n_clusters, replace=False)]
+    pick = rng.choice(len(vecs), size=n_clusters, replace=False)
     if data_dev is None:
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs / np.maximum(norms, 1e-30)
         data_dev = jnp.asarray(vecs)
+        init = vecs[pick]
+    else:
+        # caller already normalized + uploaded the corpus; re-normalizing the
+        # whole host array would repeat two O(N*D) passes (~2 GB at 1M x 512)
+        # just to pick n_clusters init rows — normalize only those rows
+        init = vecs[pick]
+        init = init / np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-30)
     cent = jnp.asarray(init)
     assign = None
     for _ in range(iters):

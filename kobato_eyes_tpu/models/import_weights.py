@@ -419,6 +419,45 @@ def swin_state_manifest(
     return m
 
 
+def vit_state_manifest(
+    cfg: ViTConfig, *, head: bool = True
+) -> dict[str, tuple[int, ...]]:
+    """Expected timm ``VisionTransformer`` weight keys -> shapes for ``cfg``.
+
+    Matches the naming ``vit_params_from_torch_state`` consumes (timm
+    vision_transformer.py with a cls token and a flat ``head`` classifier);
+    ``head=False`` for headless towers (the importer leaves the head random
+    with a warning in that case).
+    """
+    d, p = cfg.hidden_dim, cfg.patch_size
+    m: dict[str, tuple[int, ...]] = {
+        "patch_embed.proj.weight": (d, 3, p, p),
+        "patch_embed.proj.bias": (d,),
+        "cls_token": (1, 1, d),
+        "pos_embed": (1, cfg.num_patches + 1, d),
+        "norm.weight": (d,),
+        "norm.bias": (d,),
+    }
+    for i in range(cfg.depth):
+        pre = f"blocks.{i}."
+        m[pre + "norm1.weight"] = (d,)
+        m[pre + "norm1.bias"] = (d,)
+        m[pre + "attn.qkv.weight"] = (3 * d, d)
+        m[pre + "attn.qkv.bias"] = (3 * d,)
+        m[pre + "attn.proj.weight"] = (d, d)
+        m[pre + "attn.proj.bias"] = (d,)
+        m[pre + "norm2.weight"] = (d,)
+        m[pre + "norm2.bias"] = (d,)
+        m[pre + "mlp.fc1.weight"] = (cfg.mlp_dim, d)
+        m[pre + "mlp.fc1.bias"] = (cfg.mlp_dim,)
+        m[pre + "mlp.fc2.weight"] = (d, cfg.mlp_dim)
+        m[pre + "mlp.fc2.bias"] = (d,)
+    if head:
+        m["head.weight"] = (cfg.num_classes, d)
+        m["head.bias"] = (cfg.num_classes,)
+    return m
+
+
 def clip_vit_state_manifest(
     cfg: ViTConfig, *, embed_out: int = 512, prefix: str = "visual."
 ) -> dict[str, tuple[int, ...]]:
@@ -520,4 +559,27 @@ def import_torch_checkpoint(
                 state, swin_state_manifest(cfg, head_style=style), name=str(path)
             )
         return swin_params_from_torch_state(state, cfg)
+    # ViT: dispatch on the naming family — CLIP visual tower (conv1 /
+    # transformer.resblocks) vs timm VisionTransformer (patch_embed / blocks)
+    is_clip = any(k.endswith("conv1.weight") or ".resblocks." in k for k in state)
+    if is_clip:
+        if strict:
+            prefix = "visual." if any(k.startswith("visual.") for k in state) else ""
+            proj = state.get(prefix + "proj")
+            embed_out = int(_np(proj).shape[1]) if proj is not None else 512
+            # a full CLIP state dict also carries the text tower; validate
+            # the visual keys only (the importer reads only those)
+            visual = {
+                k: v for k, v in state.items() if not prefix or k.startswith(prefix)
+            }
+            validate_state_against_manifest(
+                visual,
+                clip_vit_state_manifest(cfg, embed_out=embed_out, prefix=prefix),
+                name=str(path),
+            )
+        return clip_vit_params_from_torch_state(state, cfg)
+    if strict:
+        validate_state_against_manifest(
+            state, vit_state_manifest(cfg, head="head.weight" in state), name=str(path)
+        )
     return vit_params_from_torch_state(state, cfg)

@@ -53,6 +53,16 @@ class SwinConfig:
     # "highest" (exact 6-pass f32) 99.1 ms / err 0.0027 vs exact einsum.
     qk_precision: str = "default"
 
+    def __post_init__(self) -> None:
+        # unknown knob values would otherwise silently fall through to the
+        # slow einsum / exact-gelu branches
+        if self.attn_impl not in ("einsum", "pallas"):
+            raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
+        if self.act not in ("gelu", "gelu_tanh"):
+            raise ValueError(f"unknown act {self.act!r}")
+        if self.qk_precision not in ("default", "bf16", "highest"):
+            raise ValueError(f"unknown qk_precision {self.qk_precision!r}")
+
     @property
     def num_stages(self) -> int:
         return len(self.depths)

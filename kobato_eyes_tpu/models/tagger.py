@@ -128,24 +128,12 @@ class JaxTagger:
             self.cfg = swin or swin_config(
                 preset, image_size=image_size, num_classes=len(self.labels)
             )
-            if (
-                fast_math
-                and self.cfg.attn_impl == "einsum"
-                and self.cfg.act == "gelu"
-            ):
-                import dataclasses as _dc
-
-                self.cfg = _dc.replace(self.cfg, attn_impl="pallas", act="gelu_tanh")
         else:
             self.cfg = vit or vit_config(preset, image_size=image_size, num_classes=len(self.labels))
-            if (
-                fast_math
-                and self.cfg.attn_impl == "einsum"
-                and self.cfg.act == "gelu"
-            ):
-                import dataclasses as _dc
+        if fast_math and self.cfg.attn_impl == "einsum" and self.cfg.act == "gelu":
+            import dataclasses as _dc
 
-                self.cfg = _dc.replace(self.cfg, attn_impl="pallas", act="gelu_tanh")
+            self.cfg = _dc.replace(self.cfg, attn_impl="pallas", act="gelu_tanh")
         if self.cfg.num_classes != len(self.labels):
             raise ValueError(
                 f"model head ({self.cfg.num_classes}) != label count ({len(self.labels)})"

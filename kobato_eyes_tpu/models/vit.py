@@ -59,8 +59,22 @@ class ViTConfig:
     # "flash" (Pallas TPU flash-attention: online softmax, never
     # materializes the (T, T) logits in HBM — at 785 tokens the einsum form
     # writes+reads ~34 GB of f32 logits per ViT-B forward, which is the
-    # measured 31%-MFU ceiling; TPU backend only).
+    # measured 31%-MFU ceiling; TPU backend only),
+    # "pallas" (head-resident Pallas attention, the production fast_math
+    # path: one grid program per (batch, head) holds the full logits in
+    # VMEM through softmax+PV and blocks straight into the packed qkv
+    # output — 53% MFU on ViT-B/448; TPU backend, interpret on CPU).
     attn_impl: str = "einsum"
+
+    def __post_init__(self) -> None:
+        # unknown knob values would otherwise silently fall through to the
+        # slow einsum / exact-gelu branches
+        if self.attn_impl not in ("einsum", "fused", "flash", "pallas"):
+            raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
+        if self.act not in ("gelu", "quick_gelu", "gelu_tanh"):
+            raise ValueError(f"unknown act {self.act!r}")
+        if self.pool not in ("cls", "gap"):
+            raise ValueError(f"unknown pool {self.pool!r}")
 
     @property
     def num_patches(self) -> int:

@@ -57,9 +57,17 @@ class QueryServer:
         self._shared_conn = None
         self._thresholds: dict[int, float] = {}
         # dup scanners persist per config: device-resident hashes + snapshot
-        # caches amortize across requests; one scan at a time (device-bound)
+        # caches amortize across requests; one scan at a time (device-bound).
+        # Bounded: each scanner holds device-resident copies of the whole
+        # catalog's hashes (tens of MB HBM at 1M files), so a client sweeping
+        # (hamming, size_ratio) must evict old configs, not accumulate them.
         self._dup_lock = threading.Lock()
         self._dup_scanners: dict[tuple, Any] = {}
+        self._dup_scanners_cap = 4
+        # catalog rows -> DuplicateFileMeta conversion cached per epoch
+        # version: it is O(N) sqlite + object-build work that the engine's
+        # files_token makes otherwise unread in the steady state
+        self._dup_metas: tuple[int, list] | None = None
         self.started_at = time.time()
 
     def _conn(self):
@@ -145,19 +153,27 @@ class QueryServer:
         )
         key = (cfg.hamming_threshold, cfg.size_ratio)
         with self._dup_lock:
-            scanner = self._dup_scanners.get(key)
+            scanner = self._dup_scanners.pop(key, None)
             if scanner is None:
-                scanner = self._dup_scanners[key] = TpuDuplicateScanner(cfg)
-            with self._conn_lock:
-                rows = iter_files_for_dup(self._conn())
-            metas = [
-                DuplicateFileMeta(
-                    file_id=int(r["id"]), path=Path(r["path"]), size=r["size"],
-                    width=r["width"], height=r["height"], phash=r["phash_u64"],
-                )
-                for r in rows
-                if r["phash_u64"] is not None
-            ]
+                while len(self._dup_scanners) >= self._dup_scanners_cap:
+                    self._dup_scanners.pop(next(iter(self._dup_scanners)))
+                scanner = TpuDuplicateScanner(cfg)
+            self._dup_scanners[key] = scanner  # re-insert = LRU order
+            cached = self._dup_metas
+            if cached is not None and cached[0] == epoch.version:
+                metas = cached[1]
+            else:
+                with self._conn_lock:
+                    rows = iter_files_for_dup(self._conn())
+                metas = [
+                    DuplicateFileMeta(
+                        file_id=int(r["id"]), path=Path(r["path"]), size=r["size"],
+                        width=r["width"], height=r["height"], phash=r["phash_u64"],
+                    )
+                    for r in rows
+                    if r["phash_u64"] is not None
+                ]
+                self._dup_metas = (epoch.version, metas)
             t0 = time.perf_counter()
             clusters = scanner.build_clusters(
                 metas, files_token=("epoch", epoch.version, key)

@@ -57,6 +57,23 @@ def test_warm_rescan_hits_prep_and_memo():
     assert cluster_ids(again) == cluster_ids(list(reversed(out)))
 
 
+def test_member_list_mutation_does_not_poison_memo():
+    """Clusters hand the caller mutable .files lists; in-place sorting or
+    filtering them must not alter what the memo returns next scan."""
+    rng = np.random.default_rng(47)
+    files = synth_files(rng, 300, dup_groups=25)
+    cfg = DuplicateScanConfig(hamming_threshold=8)
+    scanner = TpuDuplicateScanner(cfg)
+    first = scanner.build_clusters(files, files_token="t")
+    want = [(c.keeper_id, [e.file.file_id for e in c.files]) for c in first]
+    assert any(len(c.files) > 1 for c in first)
+    for c in first:  # caller reorders and truncates members in place
+        c.files.reverse()
+        del c.files[1:]
+    again = scanner.build_clusters(files, files_token="t")
+    assert [(c.keeper_id, [e.file.file_id for e in c.files]) for c in again] == want
+
+
 def test_token_change_invalidates_everything():
     rng = np.random.default_rng(43)
     files = synth_files(rng, 300, dup_groups=20)

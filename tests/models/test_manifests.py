@@ -150,6 +150,63 @@ def test_wrong_shape_rejected_with_both_shapes():
     assert "visual.proj" in str(ei.value) and "(3, 3)" in str(ei.value)
 
 
+def test_import_torch_checkpoint_strict_validates_vit(tmp_path):
+    """strict=True covers the ViT branch too: drifted timm naming fails with
+    the offending key named, not a deep KeyError mid-conversion."""
+    torch = pytest.importorskip("torch")
+    from kobato_eyes_tpu.models.import_weights import (
+        import_torch_checkpoint,
+        vit_state_manifest,
+    )
+
+    cfg = vit_config("tiny", image_size=32, patch_size=16, num_classes=5)
+    manifest = {k: tuple(v) for k, v in vit_state_manifest(cfg).items()}
+    state = {
+        k: torch.from_numpy(v) for k, v in _state_from_manifest(manifest).items()
+    }
+    p = tmp_path / "vit.pt"
+    torch.save(state, p)
+    params = import_torch_checkpoint(str(p), cfg)  # strict default passes
+    assert "head" in params
+
+    bad = dict(state)
+    bad["blocks.0.attn.qkv.linear.weight"] = bad.pop("blocks.0.attn.qkv.weight")
+    torch.save(bad, p)
+    with pytest.raises(StateDictMismatch) as ei:
+        import_torch_checkpoint(str(p), cfg)
+    assert "blocks.0.attn.qkv.weight" in str(ei.value)
+
+
+def test_import_torch_checkpoint_dispatches_and_validates_clip(tmp_path):
+    """A CLIP visual tower routes to the CLIP importer (with its manifest
+    validated) instead of crashing in the timm-naming converter."""
+    torch = pytest.importorskip("torch")
+    from kobato_eyes_tpu.models.import_weights import import_torch_checkpoint
+
+    cfg = vit_config(
+        "tiny", image_size=32, patch_size=16, num_classes=0,
+        ln_pre=True, patch_bias=False, act="quick_gelu",
+    )
+    manifest = {
+        k: tuple(v)
+        for k, v in clip_vit_state_manifest(cfg, embed_out=8).items()
+    }
+    state = {
+        k: torch.from_numpy(v) for k, v in _state_from_manifest(manifest).items()
+    }
+    p = tmp_path / "clip.pt"
+    torch.save(state, p)
+    params = import_torch_checkpoint(str(p), cfg)
+    assert set(params) == {"vit", "proj"}
+
+    bad = dict(state)
+    bad["visual.conv1.bias"] = torch.zeros(cfg.hidden_dim)  # CLIP has no conv bias
+    torch.save(bad, p)
+    with pytest.raises(StateDictMismatch) as ei:
+        import_torch_checkpoint(str(p), cfg)
+    assert "conv1.bias" in str(ei.value)
+
+
 def test_derived_buffers_are_not_unexpected():
     cfg = swin_config("tiny", image_size=64, patch_size=4, window_size=2, num_classes=5)
     manifest = {k: tuple(v) for k, v in swin_state_manifest(cfg).items()}

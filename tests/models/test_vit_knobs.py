@@ -24,3 +24,17 @@ def test_knobs_preserve_forward(kw):
     # bf16 activations: fusion boundaries may reassociate rounding; fused
     # attention alone is bit-identical, unroll shifts at bf16 ulp scale
     np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+def test_unknown_knob_values_rejected_at_config_time():
+    """Typo'd knob values must raise, not silently run the slow fallback."""
+    from kobato_eyes_tpu.models.swin import swin_config
+
+    with pytest.raises(ValueError, match="attn_impl"):
+        vit_config("tiny", attn_impl="palas")
+    with pytest.raises(ValueError, match="act"):
+        vit_config("tiny", act="geluu")
+    with pytest.raises(ValueError, match="attn_impl"):
+        swin_config("tiny", attn_impl="flash")  # vit-only impl name
+    with pytest.raises(ValueError, match="qk_precision"):
+        swin_config("tiny", qk_precision="high")

@@ -203,6 +203,16 @@ def test_dup_endpoint_clusters_and_audit(tmp_path):
         # tighter threshold is a separate scanner/config, not a stale cache
         tight = _get(f"{base_url}/dup?hamming=0")
         assert tight["total_clusters"] == 0
+        # sweeping configs must not accumulate scanners (each holds
+        # device-resident copies of the catalog hashes): LRU-bounded
+        for h in (1, 2, 3, 4, 5):
+            _get(f"{base_url}/dup?hamming={h}")
+        assert len(core._dup_scanners) <= core._dup_scanners_cap
+        # catalog rows -> metas conversion runs once per epoch version
+        m1 = core._dup_metas
+        assert m1 is not None and m1[0] == out["epoch"]
+        _get(f"{base_url}/dup?hamming=8")
+        assert core._dup_metas is m1
     finally:
         httpd.shutdown()
         httpd.server_close()

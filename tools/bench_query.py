@@ -129,8 +129,9 @@ def main(argv: list[str] | None = None) -> int:
                 "metric": "query_order_by_p50_ms",
                 "files": args.files,
                 "orders": order_stats,
-                "path_vs_mtime": round(
-                    order_stats["path"]["p50_ms"] / order_stats["mtime"]["p50_ms"], 2
+                "path_vs_mtime": (
+                    round(order_stats["path"]["p50_ms"] / order_stats["mtime"]["p50_ms"], 2)
+                    if order_stats["mtime"]["p50_ms"] > 0 else None
                 ),
             }))
             return 0
