@@ -131,10 +131,10 @@ class TpuDuplicateScanner:
             ):
                 # unchanged snapshot + identical edges -> identical clusters;
                 # reconstructing ~2 objects/member would rebuild what we
-                # already hold.  Each cluster's mutable .files list is copied
-                # too (not just the outer list) so caller-side sorting or
-                # filtering can never poison the memo.
-                clusters = [c._replace(files=list(c.files)) for c in memo[2]]
+                # already hold.  Clusters are immutable value objects
+                # (NamedTuples holding entry TUPLES), so an outer-list copy
+                # is all the isolation callers need.
+                clusters = list(memo[2])
             else:
                 # index-space fast path: no id->meta dict, no id-sort node
                 # discovery
@@ -143,13 +143,9 @@ class TpuDuplicateScanner:
                     key_cache=self._key_cache, column_cache=self._column_cache,
                 )
                 if files_token is not None:
-                    # private snapshot down to the per-cluster files lists:
-                    # the caller owns the returned objects and may mutate them
-                    self._assembly_memo = (
-                        files_token,
-                        (ei, ej, dists),
-                        [c._replace(files=list(c.files)) for c in clusters],
-                    )
+                    # private outer list: callers may reorder what they got;
+                    # the clusters themselves are immutable and safely shared
+                    self._assembly_memo = (files_token, (ei, ej, dists), list(clusters))
         logger.info("dup: clusters=%d elapsed=%.3fs", len(clusters), time.perf_counter() - t0)
         return clusters
 

@@ -140,7 +140,7 @@ def refine_by_tilehash(
             dists = tile_hamming_words(words[member_rows], words[base_row][None, :])
             kept = [e for e, d in zip(member_entries, dists) if int(d) <= max_bits]
         if len(kept) >= 2:
-            out.append(DuplicateCluster(files=kept, keeper_id=cl.keeper_id))
+            out.append(DuplicateCluster(files=tuple(kept), keeper_id=cl.keeper_id))
         if tick is not None and (i % 16 == 0 or i == len(clusters)):
             tick(i, len(clusters), phase=2)
     return out
@@ -211,7 +211,7 @@ def refine_by_pixels(
             continue
         kept = decisions.get(ci, [])
         if len(kept) >= 2:
-            out.append(DuplicateCluster(files=kept, keeper_id=cl.keeper_id))
+            out.append(DuplicateCluster(files=tuple(kept), keeper_id=cl.keeper_id))
         if tick is not None and ((ci + 1) % 16 == 0 or ci + 1 == len(clusters)):
             tick(ci + 1, len(clusters))
     return out

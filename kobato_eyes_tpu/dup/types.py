@@ -57,7 +57,10 @@ class DuplicateClusterEntry(NamedTuple):
 
 
 class DuplicateCluster(NamedTuple):
-    files: list[DuplicateClusterEntry]
+    # files is a TUPLE: clusters are immutable value objects, which lets the
+    # engine's assembly memo share them across scans with a plain outer-list
+    # copy — per-cluster defensive copies on the 70k hot path cost ~30 ms.
+    files: tuple[DuplicateClusterEntry, ...]
     keeper_id: int
 
 
@@ -466,7 +469,9 @@ def _assemble_tail(
             hamm_arr[best_h == big] = None
             metas_arr = np.empty(k, dtype=object)
             metas_arr[:] = metas
-            entries_all = list(map(
+            # tuple so the slice below yields the cluster's immutable tuple
+            # of entries directly (no per-cluster list->tuple pass)
+            entries_all = tuple(map(
                 DuplicateClusterEntry,
                 metas_arr[entry_order].tolist(),
                 hamm_arr[entry_order].tolist(),
@@ -526,7 +531,7 @@ def assemble_clusters_py(
             continue
         keeper_id = min(entries, key=lambda e: keeper_key(e.file)).file.file_id
         entries.sort(key=lambda e: entry_sort_key(e, keeper_id))
-        clusters.append(DuplicateCluster(files=entries, keeper_id=keeper_id))
+        clusters.append(DuplicateCluster(files=tuple(entries), keeper_id=keeper_id))
 
     clusters.sort(key=cluster_sort_key)
     return clusters

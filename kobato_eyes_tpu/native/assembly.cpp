@@ -61,8 +61,9 @@ PyObject *build_clusters(PyObject * /*self*/, PyObject *args) {
         return nullptr;
     }
 
-    // entries in global entry order
-    PyObject *entries = PyList_New(n_entries);
+    // entries in global entry order; a TUPLE so the per-cluster slices below
+    // are tuples too (DuplicateCluster.files is an immutable tuple)
+    PyObject *entries = PyTuple_New(n_entries);
     if (entries == nullptr) return nullptr;
     for (Py_ssize_t e = 0; e < n_entries; ++e) {
         const int64_t r = order_p[e];
@@ -90,7 +91,7 @@ PyObject *build_clusters(PyObject * /*self*/, PyObject *args) {
             Py_DECREF(entries);
             return nullptr;
         }
-        PyList_SET_ITEM(entries, e, entry);  // steals
+        PyTuple_SET_ITEM(entries, e, entry);  // steals
     }
 
     PyObject *clusters = PyList_New(n_clusters);
@@ -107,7 +108,7 @@ PyObject *build_clusters(PyObject * /*self*/, PyObject *args) {
             PyErr_SetString(PyExc_IndexError, "cluster bounds out of range");
             return nullptr;
         }
-        PyObject *group = PyList_GetSlice(entries, s, e);
+        PyObject *group = PyTuple_GetSlice(entries, s, e);
         if (group == nullptr) {
             Py_DECREF(entries);
             Py_DECREF(clusters);

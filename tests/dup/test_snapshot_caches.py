@@ -57,9 +57,13 @@ def test_warm_rescan_hits_prep_and_memo():
     assert cluster_ids(again) == cluster_ids(list(reversed(out)))
 
 
-def test_member_list_mutation_does_not_poison_memo():
-    """Clusters hand the caller mutable .files lists; in-place sorting or
-    filtering them must not alter what the memo returns next scan."""
+def test_member_sequences_are_immutable_so_memo_sharing_is_safe():
+    """The memo shares cluster objects across scans (outer-list copy only),
+    which is sound because .files is an immutable tuple — caller-side
+    reordering/filtering of members cannot exist, so it cannot poison the
+    memo. Pin both halves of that argument."""
+    import pytest
+
     rng = np.random.default_rng(47)
     files = synth_files(rng, 300, dup_groups=25)
     cfg = DuplicateScanConfig(hamming_threshold=8)
@@ -67,9 +71,9 @@ def test_member_list_mutation_does_not_poison_memo():
     first = scanner.build_clusters(files, files_token="t")
     want = [(c.keeper_id, [e.file.file_id for e in c.files]) for c in first]
     assert any(len(c.files) > 1 for c in first)
-    for c in first:  # caller reorders and truncates members in place
-        c.files.reverse()
-        del c.files[1:]
+    assert all(isinstance(c.files, tuple) for c in first)
+    with pytest.raises((TypeError, AttributeError)):
+        first[0].files[0] = first[0].files[-1]  # type: ignore[index]
     again = scanner.build_clusters(files, files_token="t")
     assert [(c.keeper_id, [e.file.file_id for e in c.files]) for c in again] == want
 
