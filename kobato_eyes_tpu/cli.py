@@ -429,9 +429,9 @@ def cmd_inspect(args) -> int:
 
 
 def cmd_import_weights(args) -> int:
-    """Convert a torch/timm state dict (WD14 SwinV2/ViT release format) into
-    an orbax checkpoint loadable by WD14Tagger (reference loads the same
-    pretrained family as ONNX, wd14_onnx.py:139-202)."""
+    """Convert a torch/timm state dict OR a .onnx model (the reference's
+    release format, wd14_onnx.py:139-202 — parsed without onnx/onnxruntime)
+    into an orbax checkpoint loadable by WD14Tagger."""
     from kobato_eyes_tpu.models.import_weights import import_torch_checkpoint
     from kobato_eyes_tpu.models.tagger import save_checkpoint
 
@@ -727,9 +727,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_inspect)
 
     p = sub.add_parser(
-        "import-weights", help="torch/timm state dict -> orbax tagger checkpoint"
+        "import-weights", help="torch/timm state dict or .onnx -> orbax tagger checkpoint"
     )
-    p.add_argument("state_dict", help=".pth/.pt/.safetensors file")
+    p.add_argument("state_dict", help=".pth/.pt/.safetensors/.onnx file")
     p.add_argument("out", help="output orbax checkpoint directory")
     p.add_argument("--arch", choices=["swinv2", "vit", "clip"], default="swinv2")
     p.add_argument("--preset", default="base")

@@ -536,7 +536,7 @@ def validate_state_against_manifest(
 def import_torch_checkpoint(
     path: str, cfg: ViTConfig | SwinConfig, *, strict: bool = True
 ) -> dict:
-    """Load a .pth/.pt/.safetensors file and convert (torch required).
+    """Load a .pth/.pt (torch required), .safetensors, or .onnx file and convert.
 
     ``strict`` validates the state dict against the config's expected
     manifest first, so naming/shape drift fails with every offending key
@@ -546,6 +546,13 @@ def import_torch_checkpoint(
         from safetensors.numpy import load_file  # type: ignore[import-not-found]
 
         state = load_file(path)
+    elif str(path).endswith(".onnx"):
+        # the reference's release format (wd14_onnx.py:139-202); initializer
+        # names from torch.onnx.export equal the state-dict keys, so the
+        # manifests below validate ONNX files identically
+        from kobato_eyes_tpu.models.onnx_import import read_onnx_initializers
+
+        state = read_onnx_initializers(path)
     else:
         import torch
 

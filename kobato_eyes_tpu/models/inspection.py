@@ -79,6 +79,20 @@ def inspect_model(
 
     if ckpt is not None and not ckpt.exists():
         notes.append("checkpoint path does not exist")
+    elif ckpt is not None and ckpt.suffix == ".onnx":
+        # the reference's release format: summarize the embedded weights
+        # (initializer inventory) like model_inspection.py's ONNX metadata
+        try:
+            from kobato_eyes_tpu.models.onnx_import import read_onnx_initializers
+
+            inits = read_onnx_initializers(ckpt)
+            n_params = sum(a.size for a in inits.values())
+            notes.append(
+                f"onnx weights: {len(inits)} initializers, {n_params / 1e6:.1f}M params "
+                f"(convert with `ket import-weights`)"
+            )
+        except Exception as exc:  # inspection is tolerant, never fatal
+            notes.append(f"onnx file unreadable: {exc}")
 
     counts: dict[int, int] = {}
     for m in labels:

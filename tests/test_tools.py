@@ -169,3 +169,23 @@ def test_magic_number_lint_handles_annassign_constants(tmp_path):
     src = tmp_path / "m.py"
     src.write_text("WINDOW: int = 256\nBANDS = (16, 4)\n")
     assert scan_file(src) == []
+
+
+def test_inspect_model_onnx_summary(tmp_path):
+    """inspect_model summarizes .onnx weights via the dependency-free reader."""
+    import numpy as np
+
+    from kobato_eyes_tpu.models.inspection import inspect_model
+    from kobato_eyes_tpu.models.onnx_import import write_onnx_initializers
+
+    p = tmp_path / "model.onnx"
+    write_onnx_initializers(
+        p, {"a": np.zeros((10, 10), np.float32), "b": np.zeros(5, np.float32)}
+    )
+    info = inspect_model(checkpoint_path=p)
+    assert any("2 initializers" in n and "ket import-weights" in n for n in info.notes)
+    # junk file: tolerant note, not an exception
+    bad = tmp_path / "junk.onnx"
+    bad.write_bytes(b"nope")
+    info2 = inspect_model(checkpoint_path=bad)
+    assert any("unreadable" in n for n in info2.notes)
