@@ -238,7 +238,7 @@ def read_onnx_initializers(path: str | Path) -> dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# Writer — fixture/export helper (used by tests and `ket export --onnx-weights`)
+# Writer — fixture helper (round-trip tests; weight-interchange scratch)
 # ---------------------------------------------------------------------------
 
 

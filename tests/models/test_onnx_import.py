@@ -210,3 +210,34 @@ def test_import_torch_checkpoint_consumes_onnx(tmp_path):
     with pytest.raises(StateDictMismatch) as ei:
         import_torch_checkpoint(str(p), cfg)
     assert "blocks.0.attn.qkv.weight" in str(ei.value)
+
+
+def test_import_torch_checkpoint_consumes_swin_onnx(tmp_path):
+    """The SwinV2 branch works through ONNX too, including the derived
+    buffers (CPB tables, masks, k_bias) a torch export carries."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from kobato_eyes_tpu.models.import_weights import import_torch_checkpoint
+    from kobato_eyes_tpu.models.swin import SwinConfig, SwinV2
+    from tests.models.test_import_weights import TorchSwinV2
+
+    torch.manual_seed(1)
+    tm = TorchSwinV2()
+    tm.eval()
+    cfg = SwinConfig(
+        image_size=16, patch_size=2, embed_dim=16, depths=(2, 2),
+        num_heads=(2, 4), window_size=2, mlp_ratio=2.0, num_classes=11,
+        dtype=jnp.float32,
+    )
+    state_np = {k: v.numpy() for k, v in tm.state_dict().items()}
+    p = tmp_path / "swin.onnx"
+    write_onnx_initializers(p, state_np)
+    params = import_torch_checkpoint(str(p), cfg)
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, size=(2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(SwinV2(cfg).apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=3e-4)
