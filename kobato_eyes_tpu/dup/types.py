@@ -209,6 +209,19 @@ class NodeColumnCache:
         self.name_r = np.unique(self.namelow, return_inverse=True)[1]
         self.suffix_r = np.unique(self.suffix, return_inverse=True)[1]
 
+    def ranks_for(self, nodes) -> tuple:
+        """String-rank columns for ``nodes`` (must have just been stored).
+
+        Restricting an order-isomorphic rank vector to a subset keeps it
+        order-isomorphic, so callers that only lexsort can reuse the ranks
+        ``store`` already computed instead of re-running three np.unique
+        passes over their local string arrays.
+        """
+        import numpy as np
+
+        pos = np.searchsorted(self.fids, nodes)
+        return self.path_r[pos], self.name_r[pos], self.suffix_r[pos]
+
 
 def _components_and_best_h(ia, ib, eh, k: int, m: int):
     """Connected components + per-node best (minimum) hamming, in node space."""
@@ -384,12 +397,14 @@ def _assemble_tail(
         namelow = np.array(namelow_l)
         suffix = np.array(suffix_l)
         extpri = extpri_np
+        # rank the strings once; every lexsort below is then integer-only
         if column_cache is not None:
             column_cache.store(nodes, metas, sizes, res, extpri, pathlow, namelow, suffix)
-        # rank the strings once; every lexsort below is then integer-only
-        path_r = np.unique(pathlow, return_inverse=True)[1]
-        name_r = np.unique(namelow, return_inverse=True)[1]
-        suffix_r = np.unique(suffix, return_inverse=True)[1]
+            path_r, name_r, suffix_r = column_cache.ranks_for(nodes)
+        else:
+            path_r = np.unique(pathlow, return_inverse=True)[1]
+            name_r = np.unique(namelow, return_inverse=True)[1]
+            suffix_r = np.unique(suffix, return_inverse=True)[1]
 
     _t_cols.__exit__(None, None, None)
     _t_sort = metrics.timer("dup.assemble.sort"); _t_sort.__enter__()
