@@ -198,3 +198,68 @@ def test_thresholds_fallback_normalization(conn):
     )
     rel = {r.file_id: r.relevance for r in rows}
     assert rel[fid_low] == pytest.approx(0.20)
+
+
+def test_double_quiesce_rejected(tmp_path):
+    from kobato_eyes_tpu.db.connection import QuiesceError, begin_quiesce, end_quiesce
+
+    begin_quiesce()
+    try:
+        with pytest.raises(QuiesceError, match="already"):
+            begin_quiesce()
+    finally:
+        end_quiesce()
+
+
+def test_connect_zero_wait_raises_under_foreign_quiesce(tmp_path):
+    """wait_timeout=0 is the non-blocking probe: it must raise immediately
+    when another thread holds the quiesce gate."""
+    import threading
+
+    from kobato_eyes_tpu.db.connection import (
+        QuiesceError,
+        begin_quiesce,
+        bootstrap,
+        connect,
+        end_quiesce,
+        reset_bootstrap_cache,
+    )
+
+    reset_bootstrap_cache()
+    db = tmp_path / "qz.sqlite"
+    bootstrap(db).close()
+
+    t = threading.Thread(target=begin_quiesce)
+    t.start()
+    t.join()
+    try:
+        with pytest.raises(QuiesceError):
+            connect(db, wait_timeout=0.0)
+        with pytest.raises(QuiesceError, match="timed out"):
+            connect(db, wait_timeout=0.05)
+        # the writer path bypasses the gate
+        c = connect(db, wait_timeout=0.0, bypass_quiesce=True)
+        c.close()
+    finally:
+        end_quiesce()
+
+
+def test_search_order_by_whitelist(conn):
+    from kobato_eyes_tpu.db.repository import search_files
+
+    with pytest.raises(ValueError, match="order_by"):
+        search_files(conn, "1=1", [], order_by="evil; DROP TABLE files")
+
+
+def test_write_tagging_batch_empty_noop(conn):
+    from kobato_eyes_tpu.db.repository import write_tagging_batch
+
+    write_tagging_batch(conn, [])  # no transaction, no error
+
+
+def test_load_tag_thresholds_skips_bad_rows(conn):
+    from kobato_eyes_tpu.db.repository import normalize_thresholds
+
+    merged = normalize_thresholds({"0": "0.5", "bad": "x", 2: None, 3: 0.7})
+    assert merged[0] == 0.5 and merged[3] == 0.7
+    assert all(isinstance(k, int) for k in merged)

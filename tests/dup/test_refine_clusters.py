@@ -139,3 +139,56 @@ def test_orb_ratio_real_cv2(rng):
     other = Image.fromarray(other_arr, "RGB").resize((256, 256), Image.Resampling.BICUBIC)
     diff = compute_orb_ratio(img, other)
     assert diff is not None and diff < same
+
+
+def test_refine_pair_degraded_metric_scores_none(tmp_path, monkeypatch):
+    """A raising metric degrades to None with a reason, never aborts the pair
+    (reference failure policy: per-item data errors are skips)."""
+    from PIL import Image
+
+    import kobato_eyes_tpu.dup.refine as refine_mod
+    from kobato_eyes_tpu.dup.refine import refine_pair
+
+    a = tmp_path / "a.png"
+    b = tmp_path / "b.png"
+    Image.new("RGB", (16, 16), (200, 10, 10)).save(a)
+    Image.new("RGB", (16, 16), (200, 10, 10)).save(b)
+
+    def boom(img_a, img_b):
+        raise RuntimeError("metric exploded")
+
+    monkeypatch.setattr(refine_mod, "_METRICS", (
+        ("ssim", boom, lambda t: t.ssim),
+        ("orb_ratio", refine_mod.compute_orb_ratio, lambda t: t.orb),
+        ("structural_ratio", boom, lambda t: t.structural),
+    ))
+    m = refine_pair(1, 2, a, b)
+    assert m is not None
+    assert m.ssim is None and m.structural_ratio is None
+    # identical images: ORB may or may not clear its bar; if nothing hits,
+    # the reason must name the degraded metrics
+    if not m.is_duplicate:
+        assert "degraded" in m.reason and "ssim" in m.reason
+
+
+def test_refine_pair_orb_none_when_cv2_missing(tmp_path, monkeypatch):
+    import sys
+
+    from PIL import Image
+
+    from kobato_eyes_tpu.dup.refine import compute_orb_ratio
+
+    img = Image.new("RGB", (32, 32))
+    monkeypatch.setitem(sys.modules, "cv2", None)
+    assert compute_orb_ratio(img, img) is None
+
+
+def test_ssim_zero_size_image_guard():
+    from PIL import Image
+
+    from kobato_eyes_tpu.dup.refine import compute_ssim
+
+    a = Image.new("RGB", (0, 8))
+    b = Image.new("RGB", (8, 8))
+    val = compute_ssim(a, b)  # common-size guard: falls back to max dims
+    assert val == val  # not NaN, no exception

@@ -210,3 +210,46 @@ def test_interleaved_flush_and_stop_under_contention(db):
         assert conn.execute("SELECT COUNT(*) FROM file_tags").fetchone()[0] == len(ids)
     finally:
         conn.close()
+
+
+def test_stop_without_start_is_noop(db):
+    w = CatalogWriter(db)
+    w.stop()  # no thread: returns silently
+
+
+def test_connect_failure_surfaces_at_start(tmp_path):
+    # a directory path cannot be opened as a sqlite db -> the worker thread
+    # fails during connect and start() must re-raise, not hang
+    bad = tmp_path / "adir"
+    bad.mkdir()
+    w = CatalogWriter(bad)
+    with pytest.raises(Exception):
+        w.start()
+
+
+def test_put_times_out_when_queue_full_and_writer_absent(db):
+    w = CatalogWriter(db, queue_size=1)
+    # no worker consuming: first put fills the queue, second must time out
+    w._queue.put(_item(1))
+    t0 = time.monotonic()
+    with pytest.raises(WriterError, match="queue full"):
+        w.put(_item(2), timeout=0.6)
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_idle_maintenance_truncates_after_32_flushes(db):
+    import sqlite3
+
+    w = CatalogWriter(db, unsafe_fast=False)
+    conn = sqlite3.connect(db)
+    try:
+        w._flushes_since_truncate = 32
+        w._idle_maintenance(conn)
+        assert w._flushes_since_truncate == 0
+        # unsafe-fast profile skips maintenance entirely
+        w2 = CatalogWriter(db, unsafe_fast=True)
+        w2._flushes_since_truncate = 99
+        w2._idle_maintenance(conn)
+        assert w2._flushes_since_truncate == 99
+    finally:
+        conn.close()

@@ -93,6 +93,11 @@ def collect_targets() -> dict[str, set[int]]:
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--fail-under", type=float, default=80.0)
+    parser.add_argument(
+        "--missing", metavar="SUBSTR", action="append", default=[],
+        help="print missed line numbers for modules whose path contains SUBSTR "
+             "(coverage.py's 'Missing' column equivalent); repeatable",
+    )
     parser.add_argument("pytest_args", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -138,6 +143,28 @@ def main() -> int:
         print(f"{rel:<{width}}  {n_exec:5d}  {n_exec - n_hit:4d}  {pct:5.1f}%")
     total_pct = 100.0 * total_hit / total_exec if total_exec else 100.0
     print(f"{'TOTAL':<{width}}  {total_exec:5d}  {total_exec - total_hit:4d}  {total_pct:5.1f}%")
+
+    def _ranges(lines: list[int]) -> str:
+        out, start, prev = [], None, None
+        for n in lines:
+            if start is None:
+                start = prev = n
+            elif n == prev + 1:
+                prev = n
+            else:
+                out.append(f"{start}-{prev}" if prev > start else str(start))
+                start = prev = n
+        if start is not None:
+            out.append(f"{start}-{prev}" if prev > start else str(start))
+        return ", ".join(out)
+
+    for substr in args.missing:
+        for name in sorted(targets):
+            rel = os.path.relpath(name, REPO)
+            if substr in rel:
+                missed = sorted(targets[name] - hits[name])
+                if missed:
+                    print(f"missing {rel}: {_ranges(missed)}")
 
     if rc != 0:
         print(f"coverage gate: test run failed (rc={rc})", file=sys.stderr)
