@@ -166,6 +166,10 @@ def get_file_by_path(conn: sqlite3.Connection, path: str | Path) -> sqlite3.Row 
     return conn.execute("SELECT * FROM files WHERE path = ?", (str(path),)).fetchone()
 
 
+def get_file_by_id(conn: sqlite3.Connection, file_id: int) -> sqlite3.Row | None:
+    return conn.execute("SELECT * FROM files WHERE id = ?", (int(file_id),)).fetchone()
+
+
 def mark_files_absent(conn: sqlite3.Connection, file_ids: Sequence[int]) -> int:
     """Soft delete (reference repository.py:578-591)."""
     n = 0

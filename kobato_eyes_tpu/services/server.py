@@ -68,6 +68,9 @@ class QueryServer:
         # version: it is O(N) sqlite + object-build work that the engine's
         # files_token makes otherwise unread in the steady state
         self._dup_metas: tuple[int, list] | None = None
+        # /thumb cache lives next to the catalog (reference keeps thumbnails
+        # under the app cache dir; path+size+mtime keying is in image_io)
+        self._thumb_dir = self._db_path.parent / "thumbs"
         self.started_at = time.time()
 
     def _conn(self):
@@ -213,6 +216,44 @@ class QueryServer:
                 ]
             return out
 
+    def file_info(self, file_id: int) -> dict[str, Any]:
+        """Catalog row + hydrated tags (the reference result views' payload:
+        repository.py:373-389 hydration feeding the table/grid delegates)."""
+        from kobato_eyes_tpu.db.repository import get_file_by_id, tags_for_files
+
+        with self._conn_lock:
+            row = get_file_by_id(self._conn(), file_id)
+            if row is None:
+                raise KeyError(f"no file with id {file_id}")
+            tags = tags_for_files(self._conn(), [file_id]).get(file_id, [])
+        return {
+            "file_id": int(row["id"]),
+            "path": row["path"],
+            "size": row["size"],
+            "width": row["width"],
+            "height": row["height"],
+            "mtime": row["mtime"],
+            "is_present": row["is_present"],
+            "tags": [
+                {"name": n, "score": round(float(s), 4), "category": int(c)}
+                for n, s, c in tags
+            ],
+        }
+
+    def thumbnail(self, file_id: int, *, size: int) -> Path | None:
+        """Cached WEBP thumbnail for a catalog file (reference
+        image_io.py:181-263 cache semantics: keyed by path+size+mtime)."""
+        from kobato_eyes_tpu.db.repository import get_file_by_id
+        from kobato_eyes_tpu.utils.image_io import generate_thumbnail
+
+        with self._conn_lock:
+            row = get_file_by_id(self._conn(), file_id)
+        if row is None:
+            raise KeyError(f"no file with id {file_id}")
+        return generate_thumbnail(
+            row["path"], cache_dir=self._thumb_dir, size=max(16, min(1024, size))
+        )
+
     def complete(self, prefix: str, *, limit: int) -> dict[str, Any]:
         with self._conn_lock:
             return {"completions": autocomplete_tags(self._conn(), prefix, limit=limit)}
@@ -279,8 +320,29 @@ class _Handler(BaseHTTPRequestHandler):
                     limit=int(qs.get("limit", 100)),
                     audit=qs.get("audit", "0") not in ("0", "", "false"),
                 ))
+            elif url.path == "/file":
+                if "id" not in qs:
+                    raise ValueError("missing id parameter")
+                self._reply(200, self.core.file_info(int(qs["id"])))
+            elif url.path == "/thumb":
+                if "id" not in qs:
+                    raise ValueError("missing id parameter")
+                thumb = self.core.thumbnail(
+                    int(qs["id"]), size=int(qs.get("size", 256))
+                )
+                if thumb is None:
+                    self._reply(404, {"error": "thumbnail unavailable"})
+                else:
+                    body = thumb.read_bytes()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/webp")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
             else:
                 self._reply(404, {"error": "unknown endpoint"})
+        except KeyError as exc:  # unknown file id / missing required param
+            self._reply(404, {"error": str(exc)})
         except ValueError as exc:  # query parse errors and bad params
             self._reply(400, {"error": str(exc)})
         except Exception as exc:  # noqa: BLE001

@@ -216,3 +216,49 @@ def test_dup_endpoint_clusters_and_audit(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_file_and_thumb_endpoints(tmp_path):
+    """GET /file hydrates metadata+tags; GET /thumb serves cached WEBP bytes
+    (the reference result-view/thumbnail backing, over HTTP)."""
+    from PIL import Image
+
+    reset_bootstrap_cache()
+    db = tmp_path / "t.sqlite"
+    conn = bootstrap(db)
+    img_path = tmp_path / "pic.png"
+    Image.new("RGB", (40, 30), (10, 200, 30)).save(img_path)
+    fid = upsert_file(conn, path=str(img_path), size=img_path.stat().st_size,
+                      mtime=img_path.stat().st_mtime, width=40, height=30)
+    write_tagging_batch(conn, [TaggingItem(fid, [("green", 0.9, 0), ("wide", 0.5, 4)])])
+    ghost = upsert_file(conn, path=str(tmp_path / "gone.png"), size=1, mtime=1e9)
+    conn.close()
+
+    httpd, core = make_server(db)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = httpd.server_address
+        base = f"http://{host}:{port}"
+        info = _get(f"{base}/file?id={fid}")
+        assert info["path"] == str(img_path) and info["width"] == 40
+        assert {t["name"] for t in info["tags"]} == {"green", "wide"}
+
+        with urllib.request.urlopen(f"{base}/thumb?id={fid}&size=32", timeout=30) as r:
+            assert r.headers["Content-Type"] == "image/webp"
+            body = r.read()
+        assert body[:4] == b"RIFF" and b"WEBP" in body[:16]
+        # second hit serves the same cached file
+        with urllib.request.urlopen(f"{base}/thumb?id={fid}&size=32", timeout=30) as r:
+            assert r.read() == body
+
+        # unknown id -> 404; missing image file -> 404; missing param -> 400
+        for url, want in ((f"{base}/file?id=999999", 404),
+                          (f"{base}/thumb?id={ghost}", 404),
+                          (f"{base}/thumb", 400)):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(url, timeout=30)
+            assert ei.value.code == want, url
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
