@@ -560,7 +560,8 @@ def cmd_serve(args) -> int:
     from kobato_eyes_tpu.services.server import serve_forever
 
     logging.basicConfig(level=logging.INFO)
-    serve_forever(db, args.host, args.port)
+    root = get_app_paths(args.data_dir or settings.data_dir).root
+    serve_forever(db, args.host, args.port, data_root=root)
     return 0
 
 

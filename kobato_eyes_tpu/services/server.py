@@ -45,8 +45,17 @@ logger = logging.getLogger(__name__)
 class QueryServer:
     """Owns the epoch manager + the shared catalog connection."""
 
-    def __init__(self, db_path: str | Path, *, default_limit: int = 50) -> None:
+    def __init__(
+        self,
+        db_path: str | Path,
+        *,
+        default_limit: int = 50,
+        data_root: str | Path | None = None,
+    ) -> None:
         self._db_path = Path(db_path)
+        # app-dir layout when serving a real data dir (trash is shared with
+        # `ket dup --trash-duplicates`); next-to-the-db fallback otherwise
+        self._data_root = Path(data_root) if data_root is not None else None
         self._manager = EpochManager()
         self._swap_lock = threading.Lock()  # one writer at a time
         # ONE shared catalog connection behind a lock: ThreadingHTTPServer
@@ -70,7 +79,9 @@ class QueryServer:
         self._dup_metas: tuple[int, list] | None = None
         # /thumb cache lives next to the catalog (reference keeps thumbnails
         # under the app cache dir; path+size+mtime keying is in image_io)
-        self._thumb_dir = self._db_path.parent / "thumbs"
+        base = self._data_root if self._data_root is not None else self._db_path.parent
+        self._thumb_dir = base / "cache" / "thumbs" if self._data_root else base / "thumbs"
+        self._trash_dir = base / "trash"
         self.started_at = time.time()
 
     def _conn(self):
@@ -254,6 +265,30 @@ class QueryServer:
             row["path"], cache_dir=self._thumb_dir, size=max(16, min(1024, size))
         )
 
+    def trash(self, file_ids: list[int]) -> dict[str, Any]:
+        """Move files to the app trash and soft-delete their rows (the
+        reference dup-tab's "trash checked" action, dup_tab.py:816-836;
+        reversible via utils.fs.restore_from_trash).  The live epoch keeps
+        serving the old snapshot until /reload or /delta."""
+        from kobato_eyes_tpu.db.repository import get_file_by_id, mark_files_absent
+        from kobato_eyes_tpu.utils.fs import trash_file
+
+        trashed: list[int] = []
+        failed: list[int] = []
+        with self._conn_lock:
+            conn = self._conn()
+            for fid in file_ids:
+                row = get_file_by_id(conn, fid)
+                if row is None or trash_file(row["path"], trash_dir=self._trash_dir) is None:
+                    failed.append(int(fid))
+                else:
+                    trashed.append(int(fid))
+            if trashed:
+                mark_files_absent(conn, trashed)
+                conn.commit()
+        return {"trashed": trashed, "failed": failed,
+                "note": "POST /reload or /delta to refresh the serving epoch"}
+
     def complete(self, prefix: str, *, limit: int) -> dict[str, Any]:
         with self._conn_lock:
             return {"completions": autocomplete_tags(self._conn(), prefix, limit=limit)}
@@ -366,6 +401,16 @@ class _Handler(BaseHTTPRequestHandler):
                 if not isinstance(ids, list):
                     raise ValueError("changed_file_ids must be a list")
                 self._reply(200, self.core.delta([int(i) for i in ids]))
+            elif url.path == "/trash":
+                length = int(self.headers.get("Content-Length", 0))
+                if length > _MAX_POST_BYTES:
+                    self._reply(413, {"error": "request body too large"})
+                    return
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                ids = payload.get("file_ids", [])
+                if not isinstance(ids, list) or not ids:
+                    raise ValueError("file_ids must be a non-empty list")
+                self._reply(200, self.core.trash([int(i) for i in ids]))
             else:
                 self._reply(404, {"error": "unknown endpoint"})
         except (ValueError, json.JSONDecodeError) as exc:
@@ -376,10 +421,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(
-    db_path: str | Path, host: str = "127.0.0.1", port: int = 0, *, warm: bool = True
+    db_path: str | Path,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    *,
+    warm: bool = True,
+    data_root: str | Path | None = None,
 ) -> tuple[ThreadingHTTPServer, QueryServer]:
     """Build (but don't run) the HTTP server; port 0 picks a free port."""
-    core = QueryServer(db_path)
+    core = QueryServer(db_path, data_root=data_root)
     if warm:
         core.warm()
     handler = type("BoundHandler", (_Handler,), {"core": core})
@@ -387,8 +437,11 @@ def make_server(
     return httpd, core
 
 
-def serve_forever(db_path: str | Path, host: str, port: int) -> None:
-    httpd, core = make_server(db_path, host, port)
+def serve_forever(
+    db_path: str | Path, host: str, port: int,
+    *, data_root: str | Path | None = None,
+) -> None:
+    httpd, core = make_server(db_path, host, port, data_root=data_root)
     health = core.health()
     logger.info(
         "serving on http://%s:%d  epoch v%s (%d files, %d tags)",

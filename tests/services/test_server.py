@@ -262,3 +262,45 @@ def test_file_and_thumb_endpoints(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_trash_endpoint_soft_deletes_and_moves(tmp_path):
+    """POST /trash = the dup-tab 'trash checked' action over HTTP: files move
+    to the app trash (reversible), rows go absent, epoch refresh drops them."""
+    from PIL import Image
+
+    reset_bootstrap_cache()
+    root = tmp_path / "approot"
+    (root / "db").mkdir(parents=True)
+    db = root / "db" / "catalog.sqlite3"
+    conn = bootstrap(db)
+    img = tmp_path / "victim.png"
+    Image.new("RGB", (8, 8)).save(img)
+    vid = upsert_file(conn, path=str(img), size=8, mtime=1e9)
+    write_tagging_batch(conn, [TaggingItem(vid, [("doomed", 0.9, 0)])])
+    keep = upsert_file(conn, path=str(tmp_path / "keep.png"), size=8, mtime=1e9)
+    write_tagging_batch(conn, [TaggingItem(keep, [("doomed", 0.8, 0)])])
+    conn.close()
+
+    httpd, core = make_server(db, data_root=root)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = httpd.server_address
+        base = f"http://{host}:{port}"
+        out = _post(f"{base}/trash", {"file_ids": [vid, 999999]})
+        assert out["trashed"] == [vid] and out["failed"] == [999999]
+        assert not img.exists()  # moved, not deleted
+        assert any((root / "trash").rglob("*victim*"))
+        # old epoch still serves both until a refresh
+        assert len(_get(f"{base}/search?q=doomed&order=id")["results"]) == 2
+        _post(f"{base}/reload")
+        hits = _get(f"{base}/search?q=doomed&order=id")["results"]
+        assert [r["file_id"] for r in hits] == [keep]
+        # empty / malformed body -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{base}/trash", {"file_ids": []})
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
