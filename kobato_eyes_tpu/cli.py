@@ -291,7 +291,7 @@ def cmd_dup(args) -> int:
         # UI "trash checked" parity (dup_tab.py:816-836): non-keepers move to
         # the data-dir trash (reversible) and their rows go absent.
         from kobato_eyes_tpu.db.repository import mark_files_absent
-        from kobato_eyes_tpu.utils.fs import trash_file
+        from kobato_eyes_tpu.utils.fs import append_trash_record, trash_file
         from kobato_eyes_tpu.utils.paths import get_app_paths
 
         trash_dir = get_app_paths(args.data_dir or settings.data_dir).root / "trash"
@@ -300,7 +300,12 @@ def cmd_dup(args) -> int:
             for entry in cluster.files:
                 if entry.file.file_id == cluster.keeper_id:
                     continue
-                if trash_file(entry.file.path, trash_dir=trash_dir) is not None:
+                dest = trash_file(entry.file.path, trash_dir=trash_dir)
+                if dest is not None:
+                    append_trash_record(
+                        trash_dir, file_id=entry.file.file_id,
+                        original=entry.file.path, trashed=dest,
+                    )
                     trashed_ids.append(entry.file.file_id)
         if trashed_ids:
             conn = bootstrap(db)
@@ -459,6 +464,53 @@ def cmd_import_weights(args) -> int:
         params = import_torch_checkpoint(args.state_dict, cfg)
     save_checkpoint(args.out, params)
     print(json.dumps({"arch": args.arch, "preset": args.preset, "out": str(args.out)}))
+    return 0
+
+
+def cmd_trash(args) -> int:
+    """List or restore trashed files — the reversal surface for
+    ``ket dup --trash-duplicates`` and ``POST /trash`` (the reference gets
+    this for free from the OS recycle bin via Send2Trash; an app-dir trash
+    keeps its own manifest)."""
+    settings, db = _load_env(args)
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.db.repository import mark_files_present
+    from kobato_eyes_tpu.utils.fs import (
+        load_trash_records,
+        restore_from_trash,
+        rewrite_trash_manifest,
+    )
+
+    trash_dir = get_app_paths(args.data_dir or settings.data_dir).root / "trash"
+    records = load_trash_records(trash_dir)
+    if not args.restore and not args.restore_all:
+        for r in records:
+            print(json.dumps(r))
+        print(f"{len(records)} trashed files", file=sys.stderr)
+        return 0
+
+    want = None if args.restore_all else {int(i) for i in args.restore}
+    restored_ids: list[int] = []
+    kept: list[dict] = []
+    for r in records:
+        eligible = want is None or int(r["file_id"]) in want
+        if eligible and Path(r["trashed"]).exists():
+            try:
+                restore_from_trash(r["trashed"], r["original"])
+                restored_ids.append(int(r["file_id"]))
+                continue
+            except OSError as exc:
+                print(f"restore failed for {r['trashed']}: {exc}", file=sys.stderr)
+        kept.append(r)
+    if restored_ids:
+        conn = bootstrap(db)
+        try:
+            with conn:
+                mark_files_present(conn, restored_ids)
+        finally:
+            conn.close()
+    rewrite_trash_manifest(trash_dir, kept)
+    print(json.dumps({"restored": restored_ids, "remaining": len(kept)}))
     return 0
 
 
@@ -744,6 +796,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--yes", action="store_true")
     p.add_argument("--no-backup", action="store_true")
     p.set_defaults(fn=cmd_reset)
+
+    p = sub.add_parser("trash", help="list/restore trashed files")
+    p.add_argument("--restore", nargs="*", default=[], metavar="FILE_ID",
+                   help="restore these file ids (move back + mark present)")
+    p.add_argument("--restore-all", action="store_true")
+    p.set_defaults(fn=cmd_trash)
 
     p = sub.add_parser("watch", help="tag new files as they appear (polling)")
     p.add_argument("root", nargs="*")

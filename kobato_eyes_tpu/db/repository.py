@@ -183,6 +183,19 @@ def mark_files_absent(conn: sqlite3.Connection, file_ids: Sequence[int]) -> int:
     return n
 
 
+def mark_files_present(conn: sqlite3.Connection, file_ids: Sequence[int]) -> int:
+    """Undo a soft delete (trash restore): dependent rows were never removed."""
+    n = 0
+    for chunk in _chunks(list(file_ids)):
+        ph = ",".join("?" * len(chunk))
+        cur = conn.execute(
+            f"UPDATE files SET is_present = 1, updated_at = ? WHERE id IN ({ph})",
+            [time.time(), *chunk],
+        )
+        n += cur.rowcount
+    return n
+
+
 def delete_files(conn: sqlite3.Connection, file_ids: Sequence[int]) -> int:
     """Hard delete rows + dependents (reference manual_refresh.py:200-280)."""
     n = 0

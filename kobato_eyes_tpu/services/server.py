@@ -271,7 +271,7 @@ class QueryServer:
         reversible via utils.fs.restore_from_trash).  The live epoch keeps
         serving the old snapshot until /reload or /delta."""
         from kobato_eyes_tpu.db.repository import get_file_by_id, mark_files_absent
-        from kobato_eyes_tpu.utils.fs import trash_file
+        from kobato_eyes_tpu.utils.fs import append_trash_record, trash_file
 
         trashed: list[int] = []
         failed: list[int] = []
@@ -279,9 +279,17 @@ class QueryServer:
             conn = self._conn()
             for fid in file_ids:
                 row = get_file_by_id(conn, fid)
-                if row is None or trash_file(row["path"], trash_dir=self._trash_dir) is None:
+                dest = (
+                    trash_file(row["path"], trash_dir=self._trash_dir)
+                    if row is not None else None
+                )
+                if dest is None:
                     failed.append(int(fid))
                 else:
+                    append_trash_record(
+                        self._trash_dir, file_id=fid,
+                        original=row["path"], trashed=dest,
+                    )
                     trashed.append(int(fid))
             if trashed:
                 mark_files_absent(conn, trashed)

@@ -59,3 +59,57 @@ def restore_from_trash(trashed: str | Path, original: str | Path) -> Path:
     dest.parent.mkdir(parents=True, exist_ok=True)
     shutil.move(str(src), str(dest))
     return dest
+
+
+# Trash manifest: restore needs the ORIGINAL path, which the timestamped
+# trash name does not carry.  One JSONL file per trash dir; every trashing
+# caller appends {file_id, original, trashed, ts} so `ket trash` can list
+# and undo (the reference delegates this to the OS recycle bin via
+# Send2Trash; an app-dir trash must keep its own book).
+_MANIFEST = "trash.jsonl"
+
+
+def append_trash_record(
+    trash_dir: str | Path, *, file_id: int, original: str | Path, trashed: str | Path
+) -> None:
+    import json
+    import time as _time
+
+    d = Path(trash_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / _MANIFEST, "a", encoding="utf-8") as fh:
+        fh.write(json.dumps({
+            "file_id": int(file_id), "original": str(original),
+            "trashed": str(trashed), "ts": _time.time(),
+        }) + "\n")
+
+
+def load_trash_records(trash_dir: str | Path) -> list[dict]:
+    """Manifest rows, oldest first; corrupt lines are skipped, never fatal."""
+    import json
+
+    p = Path(trash_dir) / _MANIFEST
+    if not p.exists():
+        return []
+    out: list[dict] = []
+    for line in p.read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+            out.append(rec)
+        except ValueError:
+            logger.warning("skipping corrupt trash manifest line: %r", line[:80])
+    return out
+
+
+def rewrite_trash_manifest(trash_dir: str | Path, records: list[dict]) -> None:
+    import json
+
+    p = Path(trash_dir) / _MANIFEST
+    tmp = p.with_suffix(".jsonl.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for rec in records:
+            fh.write(json.dumps(rec) + "\n")
+    tmp.replace(p)

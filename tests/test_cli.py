@@ -177,3 +177,39 @@ def test_refresh_detects_new_and_missing(env, capsys, image_dir):
     out = capsys.readouterr().out
     assert "newcomer.png" in out
     assert paths[0].name not in out
+
+
+def test_trash_list_and_restore_roundtrip(env, capsys, tmp_path):
+    """ket trash lists the manifest and --restore-all moves files back and
+    re-marks rows present (the reversal of dup --trash-duplicates)."""
+    import shutil
+    from pathlib import Path
+
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+
+    # plant an exact duplicate pair so --trash-duplicates has a victim
+    dup_path = Path(root) / "copy_of_first.png"
+    shutil.copyfile(paths[0], dup_path)
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    assert main([*base, "dup", "--hamming", "2", "--trash-duplicates"]) == 0
+    capsys.readouterr()
+    survivors = set(Path(root).iterdir())
+    trashed_from_disk = ({Path(p) for p in paths} | {dup_path}) - survivors
+    assert len(trashed_from_disk) == 1  # exactly the non-keeper went away
+
+    assert main([*base, "trash"]) == 0
+    listing = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(listing) == 1
+    assert Path(listing[0]["original"]) in trashed_from_disk
+
+    assert main([*base, "trash", "--restore-all"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["restored"] and out["remaining"] == 0
+    assert Path(listing[0]["original"]).exists()  # file is back
+
+    # row present again: both files answer searches after a fresh index pass
+    assert main([*base, "trash"]) == 0
+    assert "0 trashed" in capsys.readouterr().err
