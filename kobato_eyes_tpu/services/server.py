@@ -145,6 +145,7 @@ class QueryServer:
         size_ratio: float | None = None,
         limit: int = 100,
         audit: bool = False,
+        refine: bool = False,
     ) -> dict[str, Any]:
         """Duplicate clusters from the catalog (reference dup-tab workflow).
 
@@ -192,6 +193,23 @@ class QueryServer:
             clusters = scanner.build_clusters(
                 metas, files_token=("epoch", epoch.version, key)
             )
+            if refine and clusters:
+                # the reference auto-refines after every scan
+                # (dup_tab.py:655-656, tile grid/tile/max_bits spins + the
+                # pixel-MAE pass); schema defaults mirror those app params
+                from kobato_eyes_tpu.core.config.schema import RefineSettings
+                from kobato_eyes_tpu.dup.refine_clusters import (
+                    refine_by_pixels,
+                    refine_by_tilehash,
+                )
+
+                r = RefineSettings()
+                clusters = refine_by_tilehash(
+                    clusters, grid=r.grid, tile=r.tile, max_bits=r.max_bits
+                )
+                clusters = refine_by_pixels(
+                    clusters, mae_thr=r.mae_threshold, thumb_size=r.mae_size
+                )
             elapsed_ms = round((time.perf_counter() - t0) * 1e3, 2)
             out: dict[str, Any] = {
                 "epoch": epoch.version,
@@ -362,6 +380,7 @@ class _Handler(BaseHTTPRequestHandler):
                     size_ratio=float(sr) if sr is not None else None,
                     limit=int(qs.get("limit", 100)),
                     audit=qs.get("audit", "0") not in ("0", "", "false"),
+                    refine=qs.get("refine", "0") not in ("0", "", "false"),
                 ))
             elif url.path == "/file":
                 if "id" not in qs:

@@ -304,3 +304,56 @@ def test_trash_endpoint_soft_deletes_and_moves(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_dup_refine_over_http_drops_hash_collision(tmp_path):
+    """GET /dup?refine=1 = the reference's auto-refine after scan: a fake
+    phash collision (visually unrelated file) is dropped by the tile-hash +
+    pixel verification; the true copy survives."""
+    import numpy as np
+    from PIL import Image
+
+    reset_bootstrap_cache()
+    db = tmp_path / "r.sqlite"
+    conn = bootstrap(db)
+    from kobato_eyes_tpu.db.repository import upsert_signatures
+
+    rng = np.random.default_rng(3)
+    base_img = tmp_path / "orig.png"
+    smooth = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    Image.fromarray(smooth).resize((128, 128), Image.BICUBIC).save(base_img)
+    copy_img = tmp_path / "copy.png"
+    Image.open(base_img).save(copy_img)
+    impostor = tmp_path / "impostor.png"  # unrelated pixels, same planted hash
+    Image.fromarray(
+        rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    ).resize((128, 128), Image.BICUBIC).save(impostor)
+
+    h = 0x0123_4567_89AB_CDEF
+    rows = []
+    # explicit sizes pin keeper selection to orig (max size wins), so the
+    # refine comparison runs real-vs-keeper, not vs the impostor
+    for p, size in ((base_img, 5000), (copy_img, 4000), (impostor, 100)):
+        fid = upsert_file(conn, path=str(p), size=size, mtime=1e9)
+        write_tagging_batch(conn, [TaggingItem(fid, [("t", 0.9, 0)])])
+        rows.append((fid, h, h))  # identical phash: all three cluster
+    with conn:
+        upsert_signatures(conn, rows)
+    conn.close()
+
+    httpd, core = make_server(db)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = httpd.server_address
+        base = f"http://{host}:{port}"
+        raw = _get(f"{base}/dup?hamming=4")
+        assert raw["total_clusters"] == 1
+        assert len(raw["clusters"][0]["members"]) == 3  # collision included
+        refined = _get(f"{base}/dup?hamming=4&refine=1")
+        assert refined["total_clusters"] == 1
+        names = {m["path"].rsplit("/", 1)[-1] for m in refined["clusters"][0]["members"]}
+        assert names == {"orig.png", "copy.png"}  # impostor verified away
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
