@@ -85,3 +85,47 @@ def test_cancellation(env):
     db, settings, root, paths = env
     stats = run_index_once(db, settings, DummyTagger(), is_cancelled=lambda: True)
     assert stats.tagged == 0
+
+
+def test_halving_retry_isolates_poison_image(env, tmp_path):
+    """A failing batch splits recursively until the one poison image is
+    isolated and skipped; every healthy image still gets tagged
+    (reference tag_stage.py:200-214 halving retry)."""
+    from PIL import Image
+
+    db, settings, root, paths = env
+    poison = root / "poison.png"
+    Image.new("RGB", (32, 32), (255, 0, 0)).save(poison)  # pure red marker
+
+    class FlakyTagger(DummyTagger):
+        """Raises on multi-image batches and on the red poison image."""
+
+        def prepare_batch_from_rgb(self, images):
+            return np.stack([
+                img.mean(axis=(0, 1), keepdims=True).astype(np.uint8)
+                for img in images
+            ])
+
+        def infer_batch_prepared(self, batch, **kw):
+            if batch.shape[0] > 1:
+                raise RuntimeError("flaky backend: batch too big")
+            px = batch[0, 0, 0]
+            if px[0] > 200 and px[1] < 50 and px[2] < 50:
+                raise RuntimeError("poison image")
+            return super().infer_batch_prepared(batch, **kw)
+
+    stats = run_index_once(db, settings, FlakyTagger())
+    assert stats.tagged == len(paths)  # all healthy images made it
+    assert stats.tag_failed == 1  # exactly the poison
+    conn = bootstrap(db)
+    try:
+        row = conn.execute(
+            "SELECT tagger_sig FROM files WHERE path = ?", (str(poison),)
+        ).fetchone()
+        assert row["tagger_sig"] is None  # never marked tagged
+        n_tagged = conn.execute(
+            "SELECT COUNT(*) FROM files WHERE tagger_sig IS NOT NULL"
+        ).fetchone()[0]
+        assert n_tagged == len(paths)
+    finally:
+        conn.close()
