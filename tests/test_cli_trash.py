@@ -32,7 +32,13 @@ def test_trash_duplicates(tmp_path, image_dir):
     survivors = [p for p in (paths[0], dup_path) if p.exists()]
     assert len(survivors) == 1
     trash = get_app_paths(data_dir).root / "trash"
-    assert len(list(trash.iterdir())) == 1
+    moved = [p for p in trash.iterdir() if p.name != "trash.jsonl"]
+    assert len(moved) == 1
+    # the manifest records the move so `ket trash --restore` can undo it
+    from kobato_eyes_tpu.utils.fs import load_trash_records
+
+    recs = load_trash_records(trash)
+    assert len(recs) == 1 and recs[0]["trashed"] == str(moved[0])
 
     db = get_app_paths(data_dir).db_path
     conn = bootstrap(db)
