@@ -178,6 +178,11 @@ def main() -> None:
                 "value": round(device_pps, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(device_pps / cpu_pps, 2),
+                # attribution for relay-variance days: the same compiled
+                # kernel's dispatch-only rate and the cold first-scan cost
+                "device_dispatch_pairs_per_sec": round(pair_space / kernel_s, 1),
+                "cold_scan_s": round(cold_s, 3),
+                "cpu_ref_pairs_per_sec": round(cpu_pps, 1),
             }
         )
     )
