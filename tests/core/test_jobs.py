@@ -117,3 +117,40 @@ def test_wait_for_done(manager):
     for _ in range(5):
         manager.submit(lambda: time.sleep(0.02))
     assert manager.wait_for_done(timeout=10)
+
+
+def test_result_timeout_raises_while_running(manager):
+    gate = threading.Event()
+    h = manager.submit(lambda: gate.wait(10))
+    with pytest.raises(TimeoutError, match="still running"):
+        h.result(timeout=0.05)
+    gate.set()
+    assert h.result(timeout=5) is True
+
+
+def test_submit_after_shutdown_rejected():
+    m = JobManager(max_workers=1)
+    m.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        m.submit(lambda: 1)
+
+
+def test_shutdown_cancels_pending_handles():
+    m = JobManager(max_workers=1)
+    gate = threading.Event()
+    running = m.submit(lambda: gate.wait(10))
+    queued = [m.submit(lambda: 1) for _ in range(4)]
+    time.sleep(0.05)  # let the worker pick up the blocker
+    m.shutdown(cancel_pending=True, timeout=0.2)
+    gate.set()
+    cancelled = sum(isinstance(h.error, JobCancelled) for h in queued if h.done())
+    assert cancelled >= 3  # all still-queued jobs got a JobCancelled error
+    running.wait(5)
+
+
+def test_wait_for_done_times_out(manager):
+    gate = threading.Event()
+    manager.submit(lambda: gate.wait(10))
+    assert manager.wait_for_done(timeout=0.1) is False
+    gate.set()
+    assert manager.wait_for_done(timeout=5) is True
