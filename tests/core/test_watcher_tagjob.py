@@ -90,3 +90,32 @@ def test_pipeline_polling_picks_up_files(tmp_path, image_dir):
         assert n >= len(paths)
     finally:
         pipe.stop()
+
+
+def test_resolve_watch_paths_skips_missing(tmp_path, caplog):
+    real = tmp_path / "real"
+    real.mkdir()
+    kept = resolve_watch_paths([real, tmp_path / "ghost"])
+    assert kept == [real]  # missing path warned away, never raises
+
+
+def test_on_result_callback_failure_isolated(tmp_path, image_dir):
+    """A raising on_result callback must not poison the tag job itself
+    (failure policy: observers are best-effort)."""
+    reset_bootstrap_cache()
+    root, paths = image_dir
+    db = tmp_path / "w.sqlite"
+    bootstrap(db).close()
+    calls = []
+
+    def bad_callback(path, result):
+        calls.append(path)
+        raise RuntimeError("observer exploded")
+
+    pipe = ProcessingPipeline(db, DummyTagger(), on_result=bad_callback)
+    try:
+        h = pipe.enqueue_file(paths[0])
+        out = h.result(timeout=30)  # job still succeeds
+        assert out.tagged and calls == [paths[0]]
+    finally:
+        pipe.stop()
