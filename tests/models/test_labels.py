@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from kobato_eyes_tpu.models.base import TagCategory
 from kobato_eyes_tpu.models.labels import (
     BROKEN_PLACEHOLDER_PREFIX,
@@ -102,3 +104,41 @@ def test_pixai_tagger_repairs_label_order(tmp_path):
     assert [m.name for m in tagger.labels] == ["wrong_second", "wrong_first"]
     # categories moved with the names
     assert int(tagger.labels[0].category) == 4
+
+
+def test_broken_rows_get_placeholders_and_bad_fields_degrade(tmp_path):
+    """Nameless rows become __broken placeholders at their ordinal (label
+    order is positional for the model head); bad count/ips degrade to
+    defaults instead of failing the load (reference labels_util.py:133)."""
+    p = tmp_path / "selected_tags.csv"
+    p.write_text(
+        "tag_id,name,category,count,ips\n"
+        "1,girl,0,not_a_number,\n"
+        "2,,0,5,\n"  # nameless -> placeholder
+        '3,hat,4,12,"not json"\n'
+        '4,mascot,4,3,"[""seriesA"", """"]"\n'
+    )
+    labels = load_labels(p)
+    assert [m.name.startswith("__") for m in labels] == [False, True, False, False]
+    assert labels[0].count == 0  # unparsable count degrades
+    assert labels[2].ips == ()  # unparsable ips degrades
+    assert labels[3].ips == ("seriesA",)  # empties filtered
+
+
+def test_headerless_csv_rejected(tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    with pytest.raises(ValueError, match="no header"):
+        load_labels(p)
+
+
+def test_pixai_tag_map_env_discovery(tmp_path, monkeypatch):
+    from kobato_eyes_tpu.models.labels import discover_tag_map_json
+
+    model = tmp_path / "model.ckpt"
+    model.touch()
+    assert discover_tag_map_json(model) is None
+    custom = tmp_path / "elsewhere.json"
+    custom.write_text("{}")
+    monkeypatch.setenv("KET_PIXAI_TAGS_JSON", str(custom))
+    assert discover_tag_map_json(model) == custom
