@@ -81,3 +81,29 @@ def test_excluded_subtree(tmp_path):
         (d / "img.png").write_bytes(b"x")
     results = list(iter_images([tmp_path], excluded=[skip]))
     assert [r.path.parent.name for r in results] == ["keep"]
+
+
+def test_missing_root_and_broken_symlink_are_skipped(tmp_path):
+    """Missing roots warn and yield nothing; a dangling symlink is a per-item
+    stat failure, never fatal; duplicate roots dedupe."""
+    from kobato_eyes_tpu.core.scanner import iter_images
+
+    real = tmp_path / "lib"
+    real.mkdir()
+    (real / "ok.png").write_bytes(b"x")
+    (real / "dangling.png").symlink_to(tmp_path / "nowhere.png")
+    got = list(iter_images([real, tmp_path / "ghost", real]))
+    assert [p.path.name for p in got] == ["ok.png"]
+
+
+def test_hidden_and_excluded_pruned(tmp_path):
+    from kobato_eyes_tpu.core.scanner import iter_images
+
+    (tmp_path / ".hiddendir").mkdir()
+    (tmp_path / ".hiddendir" / "a.png").write_bytes(b"x")
+    (tmp_path / ".dotfile.png").write_bytes(b"x")
+    (tmp_path / "skipme").mkdir()
+    (tmp_path / "skipme" / "b.png").write_bytes(b"x")
+    (tmp_path / "keep.png").write_bytes(b"x")
+    got = list(iter_images([tmp_path], excluded=[tmp_path / "skipme"]))
+    assert [p.path.name for p in got] == ["keep.png"]
