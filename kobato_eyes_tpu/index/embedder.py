@@ -106,24 +106,18 @@ class ImageEmbedder:
         patch_size: int = 32,
         embed_dim: int = 512,
     ) -> "ImageEmbedder":
-        """Build directly from a CLIP torch state dict (.pt/.safetensors)."""
-        from kobato_eyes_tpu.models.import_weights import clip_vit_params_from_torch_state
+        """Build from a CLIP checkpoint (.pt/.safetensors/.onnx).
+
+        Routed through ``import_torch_checkpoint`` so every release format
+        (incl. the reference's ONNX graphs) loads with strict manifest
+        validation instead of a deep KeyError on naming drift."""
+        from kobato_eyes_tpu.models.import_weights import import_torch_checkpoint
 
         self = cls(
             preset=preset, image_size=image_size, patch_size=patch_size,
             embed_dim=embed_dim, clip_variant=clip_variant, params={},
         )
-        if str(state_dict_path).endswith(".safetensors"):
-            from safetensors.numpy import load_file
-
-            state = load_file(str(state_dict_path))
-        else:
-            import torch
-
-            state = torch.load(state_dict_path, map_location="cpu", weights_only=True)
-            if isinstance(state, dict) and "state_dict" in state:
-                state = state["state_dict"]
-        self.params = clip_vit_params_from_torch_state(state, self.cfg)
+        self.params = import_torch_checkpoint(state_dict_path, self.cfg)
         return self
 
     def prepare_batch_from_rgb(self, images: Sequence[np.ndarray]) -> np.ndarray:

@@ -16,6 +16,7 @@ import subprocess
 import numpy as np
 import pytest
 
+from kobato_eyes_tpu.models.import_weights import clip_vit_state_manifest
 from kobato_eyes_tpu.models.onnx_import import (
     OnnxParseError,
     _len_field,
@@ -241,3 +242,37 @@ def test_import_torch_checkpoint_consumes_swin_onnx(tmp_path):
         want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(SwinV2(cfg).apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_embedder_from_clip_onnx(tmp_path):
+    """ImageEmbedder.from_clip_checkpoint consumes ONNX CLIP towers through
+    the same strict importer as torch state dicts."""
+    import jax.numpy as jnp
+
+    from kobato_eyes_tpu.index.embedder import ImageEmbedder
+    from kobato_eyes_tpu.models.vit import vit_config
+
+    cfg = vit_config(
+        "tiny", image_size=32, patch_size=16, num_classes=8,
+        ln_pre=True, patch_bias=False, act="quick_gelu",
+    )
+    manifest = {
+        k: tuple(v)
+        for k, v in clip_vit_state_manifest(cfg, embed_out=8).items()
+    }
+    rng = np.random.default_rng(0)
+    state = {
+        k: rng.normal(scale=0.02, size=s).astype(np.float32)
+        for k, s in manifest.items()
+    }
+    p = tmp_path / "clip.onnx"
+    write_onnx_initializers(p, state)
+    emb = ImageEmbedder.from_clip_checkpoint(
+        p, preset="tiny", image_size=32, patch_size=16, embed_dim=8,
+    )
+    vecs = emb.embed_batch_prepared(
+        np.zeros((2, 32, 32, 3), np.uint8)
+    )
+    assert np.asarray(vecs).shape == (2, 8)
+    # embeddings are unit-norm (cosine space)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(vecs), axis=1), 1.0, atol=1e-4)
