@@ -69,3 +69,28 @@ def test_pipeline_with_cache_enabled(tmp_path, image_dir):
     s1 = run_index_once(db, settings, DummyTagger())
     assert s1.tagged == len(paths)
     assert any((tmp_path / "pc").rglob("*.npz"))
+
+
+def test_corrupt_cache_entries_fall_back_to_decode(tmp_path, image_dir):
+    """A truncated/garbage .npz is a miss (re-decode), never an exception;
+    an unwritable cache degrades to pass-through (write failures are
+    best-effort by policy)."""
+    root, paths = image_dir
+    cache = PreparedInputCache(tmp_path / "cache")
+    first = _run_loader(_records(paths), cache)
+    for f in (tmp_path / "cache").rglob("*.npz"):
+        f.write_bytes(b"not an npz")
+    cache2 = PreparedInputCache(tmp_path / "cache")
+    second = _run_loader(_records(paths), cache2)
+    assert cache2.hits == 0 and cache2.misses == len(paths)
+    np.testing.assert_array_equal(
+        np.concatenate([b.pixels for b in first]),
+        np.concatenate([b.pixels for b in second]),
+    )
+
+    # unwritable cache dir: put() must swallow, loader still yields batches
+    blocked = tmp_path / "blocked"
+    blocked.write_text("a file, not a dir")
+    cache3 = PreparedInputCache(blocked / "sub")
+    third = _run_loader(_records(paths), cache3)
+    assert sum(len(b.records) for b in third) == len(paths)
