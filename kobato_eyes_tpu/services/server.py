@@ -193,10 +193,14 @@ class QueryServer:
             clusters = scanner.build_clusters(
                 metas, files_token=("epoch", epoch.version, key)
             )
-            if refine and clusters:
+            shown = clusters[: max(0, int(limit))]
+            if refine and shown:
                 # the reference auto-refines after every scan
                 # (dup_tab.py:655-656, tile grid/tile/max_bits spins + the
-                # pixel-MAE pass); schema defaults mirror those app params
+                # pixel-MAE pass); schema defaults mirror those app params.
+                # Only the RETURNED slice is refined — refinement decodes
+                # real images, so a request's IO work must be bounded by
+                # its own limit, not by the catalog's cluster count.
                 from kobato_eyes_tpu.core.config.schema import RefineSettings
                 from kobato_eyes_tpu.dup.refine_clusters import (
                     refine_by_pixels,
@@ -204,17 +208,18 @@ class QueryServer:
                 )
 
                 r = RefineSettings()
-                clusters = refine_by_tilehash(
-                    clusters, grid=r.grid, tile=r.tile, max_bits=r.max_bits
+                shown = refine_by_tilehash(
+                    shown, grid=r.grid, tile=r.tile, max_bits=r.max_bits
                 )
-                clusters = refine_by_pixels(
-                    clusters, mae_thr=r.mae_threshold, thumb_size=r.mae_size
+                shown = refine_by_pixels(
+                    shown, mae_thr=r.mae_threshold, thumb_size=r.mae_size
                 )
             elapsed_ms = round((time.perf_counter() - t0) * 1e3, 2)
             out: dict[str, Any] = {
                 "epoch": epoch.version,
                 "elapsed_ms": elapsed_ms,
-                "total_clusters": len(clusters),
+                "total_clusters": len(shown) if refine else len(clusters),
+                "scanned_clusters": len(clusters),
                 "clusters": [
                     {
                         "keeper_id": c.keeper_id,
@@ -227,13 +232,13 @@ class QueryServer:
                             for e in c.files
                         ],
                     }
-                    for c in clusters[: max(0, int(limit))]
+                    for c in shown
                 ],
             }
-            if audit and clusters:
+            if audit and shown:
                 from kobato_eyes_tpu.dup.audit import audit_clusters
 
-                stats = audit_clusters(clusters[: max(0, int(limit))])
+                stats = audit_clusters(shown)
                 out["audit"] = [
                     {
                         "keeper_id": s.keeper_id, "size": s.size,

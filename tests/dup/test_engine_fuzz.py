@@ -17,6 +17,10 @@ from pathlib import Path
 
 import numpy as np
 from hypothesis import HealthCheck, given, settings
+
+# soak knob: KET_FUZZ_SCALE=20 multiplies every max_examples (relay-down bug hunts, CI soak jobs)
+import os as _os
+_FUZZ_SCALE = max(1, int(_os.environ.get("KET_FUZZ_SCALE", "1")))
 from hypothesis import strategies as st
 
 from kobato_eyes_tpu.dup.cpu_ref import CpuDuplicateScanner
@@ -101,7 +105,7 @@ def configs(draw) -> DuplicateScanConfig:
 
 
 @settings(
-    max_examples=40,
+    max_examples=40 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -112,7 +116,7 @@ def test_fuzz_cluster_identity(files, cfg):
     assert_clusters_equal(got, want)
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15 * _FUZZ_SCALE, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(files=metas(), seed=st.integers(0, 2**16))
 def test_fuzz_sweep_matches_individual_scans(files, seed):

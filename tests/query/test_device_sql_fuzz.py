@@ -19,6 +19,10 @@ import pytest
 
 hypothesis = pytest.importorskip("hypothesis")
 from hypothesis import HealthCheck, given, settings
+
+# soak knob: KET_FUZZ_SCALE=20 multiplies every max_examples (relay-down bug hunts, CI soak jobs)
+import os as _os
+_FUZZ_SCALE = max(1, int(_os.environ.get("KET_FUZZ_SCALE", "1")))
 from hypothesis import strategies as st
 
 from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
@@ -110,7 +114,7 @@ def thresholds(draw):
 
 
 @settings(
-    max_examples=60,
+    max_examples=60 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
