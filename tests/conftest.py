@@ -42,8 +42,11 @@ def _no_quiesce_leak():
     assert not leaked, "test leaked the quiesce gate"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng() -> np.random.Generator:
+    # function-scoped on purpose: a session-scoped generator is consumed in
+    # test order, so adding any rng-using test silently shifts the data every
+    # later test sees (found as an order-dependent SSIM threshold flake)
     return np.random.default_rng(0)
 
 
