@@ -477,31 +477,43 @@ def cmd_trash(args) -> int:
     from kobato_eyes_tpu.db.repository import mark_files_present
     from kobato_eyes_tpu.utils.fs import (
         load_trash_records,
+        remove_trash_records,
         restore_from_trash,
-        rewrite_trash_manifest,
     )
 
     trash_dir = get_app_paths(args.data_dir or settings.data_dir).root / "trash"
     records = load_trash_records(trash_dir)
-    if not args.restore and not args.restore_all:
+    restore_ids = args.restore if args.restore is not None else []
+    if args.restore is not None and not restore_ids and not args.restore_all:
+        raise SystemExit("--restore needs file ids (or use --restore-all)")
+    if not restore_ids and not args.restore_all:
         for r in records:
             print(json.dumps(r))
         print(f"{len(records)} trashed files", file=sys.stderr)
         return 0
 
-    want = None if args.restore_all else {int(i) for i in args.restore}
+    want = None if args.restore_all else {int(i) for i in restore_ids}
     restored_ids: list[int] = []
-    kept: list[dict] = []
+    restored_paths: set[str] = set()
     for r in records:
         eligible = want is None or int(r["file_id"]) in want
-        if eligible and Path(r["trashed"]).exists():
-            try:
-                restore_from_trash(r["trashed"], r["original"])
-                restored_ids.append(int(r["file_id"]))
-                continue
-            except OSError as exc:
-                print(f"restore failed for {r['trashed']}: {exc}", file=sys.stderr)
-        kept.append(r)
+        if not eligible or not Path(r["trashed"]).exists():
+            continue
+        if Path(r["original"]).exists():
+            # NEVER clobber: a different file may have taken the original
+            # path since — restoring would silently destroy it
+            print(
+                f"skip {r['original']}: a file exists there now "
+                "(move it aside, then restore again)",
+                file=sys.stderr,
+            )
+            continue
+        try:
+            restore_from_trash(r["trashed"], r["original"])
+            restored_ids.append(int(r["file_id"]))
+            restored_paths.add(r["trashed"])
+        except OSError as exc:
+            print(f"restore failed for {r['trashed']}: {exc}", file=sys.stderr)
     if restored_ids:
         conn = bootstrap(db)
         try:
@@ -509,8 +521,12 @@ def cmd_trash(args) -> int:
                 mark_files_present(conn, restored_ids)
         finally:
             conn.close()
-    rewrite_trash_manifest(trash_dir, kept)
-    print(json.dumps({"restored": restored_ids, "remaining": len(kept)}))
+    if restored_paths:
+        # drops only what we restored, re-reading under the manifest lock so
+        # records appended by a live server meanwhile survive
+        remove_trash_records(trash_dir, restored_paths)
+    remaining = len(load_trash_records(trash_dir))
+    print(json.dumps({"restored": restored_ids, "remaining": remaining}))
     return 0
 
 
@@ -613,7 +629,8 @@ def cmd_serve(args) -> int:
 
     logging.basicConfig(level=logging.INFO)
     root = get_app_paths(args.data_dir or settings.data_dir).root
-    serve_forever(db, args.host, args.port, data_root=root)
+    serve_forever(db, args.host, args.port, data_root=root,
+                  refine_settings=settings.refine)
     return 0
 
 
@@ -798,7 +815,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_reset)
 
     p = sub.add_parser("trash", help="list/restore trashed files")
-    p.add_argument("--restore", nargs="*", default=[], metavar="FILE_ID",
+    p.add_argument("--restore", nargs="*", default=None, metavar="FILE_ID",
                    help="restore these file ids (move back + mark present)")
     p.add_argument("--restore-all", action="store_true")
     p.set_defaults(fn=cmd_trash)

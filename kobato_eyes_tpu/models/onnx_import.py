@@ -140,7 +140,7 @@ def _tensor_from_proto(buf: bytes) -> tuple[str, np.ndarray]:
         elif field == 2 and wire == _WIRE_VARINT:
             data_type = int(value)  # type: ignore[arg-type]
         elif field == 4:  # float_data (packed floats or repeated fixed32)
-            float_data.append(bytes(value) if wire == _WIRE_LEN else bytes(value))  # type: ignore[arg-type]
+            float_data.append(bytes(value))  # packed LEN payload or one fixed32
         elif field == 5:  # int32_data (also carries f16/bf16/bool/uint8...)
             int32_varints.extend(_packed_varints(value, wire))
         elif field == 7:  # int64_data

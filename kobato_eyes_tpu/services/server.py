@@ -42,6 +42,13 @@ from kobato_eyes_tpu.query.engine import EpochManager, search_epoch
 logger = logging.getLogger(__name__)
 
 
+class NotFound(KeyError):
+    """Entity lookup miss -> HTTP 404 (scoped: internal KeyErrors stay 500)."""
+
+    def __str__(self) -> str:  # KeyError quotes its arg; we want the message
+        return self.args[0] if self.args else "not found"
+
+
 class QueryServer:
     """Owns the epoch manager + the shared catalog connection."""
 
@@ -51,11 +58,15 @@ class QueryServer:
         *,
         default_limit: int = 50,
         data_root: str | Path | None = None,
+        refine_settings: Any | None = None,
     ) -> None:
         self._db_path = Path(db_path)
         # app-dir layout when serving a real data dir (trash is shared with
         # `ket dup --trash-duplicates`); next-to-the-db fallback otherwise
         self._data_root = Path(data_root) if data_root is not None else None
+        # user-configured refine params (ket serve passes settings.refine so
+        # /dup?refine=1 and `ket dup --refine` agree); schema defaults otherwise
+        self._refine_settings = refine_settings
         self._manager = EpochManager()
         self._swap_lock = threading.Lock()  # one writer at a time
         # ONE shared catalog connection behind a lock: ThreadingHTTPServer
@@ -207,7 +218,7 @@ class QueryServer:
                     refine_by_tilehash,
                 )
 
-                r = RefineSettings()
+                r = self._refine_settings or RefineSettings()
                 shown = refine_by_tilehash(
                     shown, grid=r.grid, tile=r.tile, max_bits=r.max_bits
                 )
@@ -218,8 +229,8 @@ class QueryServer:
             out: dict[str, Any] = {
                 "epoch": epoch.version,
                 "elapsed_ms": elapsed_ms,
-                "total_clusters": len(shown) if refine else len(clusters),
-                "scanned_clusters": len(clusters),
+                "total_clusters": len(clusters),
+                "refined_clusters": len(shown) if refine else None,
                 "clusters": [
                     {
                         "keeper_id": c.keeper_id,
@@ -258,7 +269,7 @@ class QueryServer:
         with self._conn_lock:
             row = get_file_by_id(self._conn(), file_id)
             if row is None:
-                raise KeyError(f"no file with id {file_id}")
+                raise NotFound(f"no file with id {file_id}")
             tags = tags_for_files(self._conn(), [file_id]).get(file_id, [])
         return {
             "file_id": int(row["id"]),
@@ -283,7 +294,7 @@ class QueryServer:
         with self._conn_lock:
             row = get_file_by_id(self._conn(), file_id)
         if row is None:
-            raise KeyError(f"no file with id {file_id}")
+            raise NotFound(f"no file with id {file_id}")
         return generate_thumbnail(
             row["path"], cache_dir=self._thumb_dir, size=max(16, min(1024, size))
         )
@@ -296,27 +307,35 @@ class QueryServer:
         from kobato_eyes_tpu.db.repository import get_file_by_id, mark_files_absent
         from kobato_eyes_tpu.utils.fs import append_trash_record, trash_file
 
-        trashed: list[int] = []
-        failed: list[int] = []
+        # row lookups under the connection lock; the filesystem moves run
+        # OUTSIDE it so a slow disk cannot stall every other catalog request
         with self._conn_lock:
             conn = self._conn()
-            for fid in file_ids:
-                row = get_file_by_id(conn, fid)
-                dest = (
-                    trash_file(row["path"], trash_dir=self._trash_dir)
-                    if row is not None else None
+            rows = {int(fid): get_file_by_id(conn, fid) for fid in file_ids}
+        trashed: list[int] = []
+        failed: list[int] = []
+        for fid, row in rows.items():
+            dest = None
+            if row is not None:
+                # per-file isolation: one unmovable file (permissions,
+                # system-path guard) must not abort the batch and leave
+                # earlier moves unrecorded in the catalog
+                try:
+                    dest = trash_file(row["path"], trash_dir=self._trash_dir)
+                except (OSError, ValueError) as exc:
+                    logger.warning("trash failed for %s: %s", row["path"], exc)
+            if dest is None:
+                failed.append(fid)
+            else:
+                append_trash_record(
+                    self._trash_dir, file_id=fid,
+                    original=row["path"], trashed=dest,
                 )
-                if dest is None:
-                    failed.append(int(fid))
-                else:
-                    append_trash_record(
-                        self._trash_dir, file_id=fid,
-                        original=row["path"], trashed=dest,
-                    )
-                    trashed.append(int(fid))
-            if trashed:
-                mark_files_absent(conn, trashed)
-                conn.commit()
+                trashed.append(fid)
+        if trashed:
+            with self._conn_lock:
+                mark_files_absent(self._conn(), trashed)
+                self._conn().commit()
         return {"trashed": trashed, "failed": failed,
                 "note": "POST /reload or /delta to refresh the serving epoch"}
 
@@ -408,7 +427,7 @@ class _Handler(BaseHTTPRequestHandler):
                     self.wfile.write(body)
             else:
                 self._reply(404, {"error": "unknown endpoint"})
-        except KeyError as exc:  # unknown file id / missing required param
+        except NotFound as exc:
             self._reply(404, {"error": str(exc)})
         except ValueError as exc:  # query parse errors and bad params
             self._reply(400, {"error": str(exc)})
@@ -459,9 +478,10 @@ def make_server(
     *,
     warm: bool = True,
     data_root: str | Path | None = None,
+    refine_settings: Any | None = None,
 ) -> tuple[ThreadingHTTPServer, QueryServer]:
     """Build (but don't run) the HTTP server; port 0 picks a free port."""
-    core = QueryServer(db_path, data_root=data_root)
+    core = QueryServer(db_path, data_root=data_root, refine_settings=refine_settings)
     if warm:
         core.warm()
     handler = type("BoundHandler", (_Handler,), {"core": core})
@@ -471,9 +491,11 @@ def make_server(
 
 def serve_forever(
     db_path: str | Path, host: str, port: int,
-    *, data_root: str | Path | None = None,
+    *, data_root: str | Path | None = None, refine_settings: Any | None = None,
 ) -> None:
-    httpd, core = make_server(db_path, host, port, data_root=data_root)
+    httpd, core = make_server(
+        db_path, host, port, data_root=data_root, refine_settings=refine_settings
+    )
     health = core.health()
     logger.info(
         "serving on http://%s:%d  epoch v%s (%d files, %d tags)",

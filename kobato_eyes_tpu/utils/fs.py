@@ -69,6 +69,26 @@ def restore_from_trash(trashed: str | Path, original: str | Path) -> Path:
 _MANIFEST = "trash.jsonl"
 
 
+def _manifest_lock(trash_dir: Path):
+    """flock-guarded handle on the manifest's sibling lockfile: appends (any
+    trashing surface, incl. a live `ket serve`) and the restore rewrite can
+    interleave across processes without losing records."""
+    import fcntl
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _held():
+        trash_dir.mkdir(parents=True, exist_ok=True)
+        with open(trash_dir / (_MANIFEST + ".lock"), "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lock_fh, fcntl.LOCK_UN)
+
+    return _held()
+
+
 def append_trash_record(
     trash_dir: str | Path, *, file_id: int, original: str | Path, trashed: str | Path
 ) -> None:
@@ -76,16 +96,26 @@ def append_trash_record(
     import time as _time
 
     d = Path(trash_dir)
-    d.mkdir(parents=True, exist_ok=True)
-    with open(d / _MANIFEST, "a", encoding="utf-8") as fh:
-        fh.write(json.dumps({
-            "file_id": int(file_id), "original": str(original),
-            "trashed": str(trashed), "ts": _time.time(),
-        }) + "\n")
+    with _manifest_lock(d):
+        with open(d / _MANIFEST, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps({
+                "file_id": int(file_id), "original": str(original),
+                "trashed": str(trashed), "ts": _time.time(),
+            }) + "\n")
+
+
+def _valid_record(rec: object) -> bool:
+    return (
+        isinstance(rec, dict)
+        and isinstance(rec.get("original"), str)
+        and isinstance(rec.get("trashed"), str)
+        and isinstance(rec.get("file_id"), int)
+    )
 
 
 def load_trash_records(trash_dir: str | Path) -> list[dict]:
-    """Manifest rows, oldest first; corrupt lines are skipped, never fatal."""
+    """Manifest rows, oldest first; corrupt or mis-shaped lines are skipped,
+    never fatal (a half-written line must not block every restore)."""
     import json
 
     p = Path(trash_dir) / _MANIFEST
@@ -98,18 +128,31 @@ def load_trash_records(trash_dir: str | Path) -> list[dict]:
             continue
         try:
             rec = json.loads(line)
-            out.append(rec)
         except ValueError:
             logger.warning("skipping corrupt trash manifest line: %r", line[:80])
+            continue
+        if _valid_record(rec):
+            out.append(rec)
+        else:
+            logger.warning("skipping mis-shaped trash manifest line: %r", line[:80])
     return out
 
 
-def rewrite_trash_manifest(trash_dir: str | Path, records: list[dict]) -> None:
+def remove_trash_records(trash_dir: str | Path, trashed_paths: set[str]) -> None:
+    """Drop the given records (by their trashed path) under the manifest
+    lock, RE-READING first — records appended by another process since the
+    caller's load survive the rewrite."""
     import json
 
-    p = Path(trash_dir) / _MANIFEST
-    tmp = p.with_suffix(".jsonl.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for rec in records:
-            fh.write(json.dumps(rec) + "\n")
-    tmp.replace(p)
+    d = Path(trash_dir)
+    with _manifest_lock(d):
+        keep = [
+            rec for rec in load_trash_records(d)
+            if rec["trashed"] not in trashed_paths
+        ]
+        p = d / _MANIFEST
+        tmp = p.with_suffix(".jsonl.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for rec in keep:
+                fh.write(json.dumps(rec) + "\n")
+        tmp.replace(p)

@@ -351,9 +351,43 @@ def test_dup_refine_over_http_drops_hash_collision(tmp_path):
         assert raw["total_clusters"] == 1
         assert len(raw["clusters"][0]["members"]) == 3  # collision included
         refined = _get(f"{base}/dup?hamming=4&refine=1")
-        assert refined["total_clusters"] == 1
+        assert refined["total_clusters"] == 1  # raw scan total, flag-invariant
+        assert refined["refined_clusters"] == 1 and raw["refined_clusters"] is None
         names = {m["path"].rsplit("/", 1)[-1] for m in refined["clusters"][0]["members"]}
         assert names == {"orig.png", "copy.png"}  # impostor verified away
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_trash_batch_survives_unmovable_file(tmp_path):
+    """One unmovable file (system-path guard) lands in 'failed'; the rest of
+    the batch still moves and gets soft-deleted — no mid-batch abort."""
+    from PIL import Image
+
+    reset_bootstrap_cache()
+    db = tmp_path / "b.sqlite"
+    conn = bootstrap(db)
+    good = tmp_path / "good.png"
+    Image.new("RGB", (8, 8)).save(good)
+    gid = upsert_file(conn, path=str(good), size=8, mtime=1e9)
+    write_tagging_batch(conn, [TaggingItem(gid, [("t", 0.9, 0)])])
+    sysid = upsert_file(conn, path="/usr/bin/env", size=8, mtime=1e9)  # guarded
+    write_tagging_batch(conn, [TaggingItem(sysid, [("t", 0.9, 0)])])
+    conn.close()
+
+    httpd, core = make_server(db)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = httpd.server_address
+        base = f"http://{host}:{port}"
+        out = _post(f"{base}/trash", {"file_ids": [sysid, gid]})
+        assert out["trashed"] == [gid] and out["failed"] == [sysid]
+        assert not good.exists()
+        from pathlib import Path as _P
+
+        assert _P("/usr/bin/env").exists()  # guard refused, file untouched
     finally:
         httpd.shutdown()
         httpd.server_close()

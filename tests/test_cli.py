@@ -213,3 +213,38 @@ def test_trash_list_and_restore_roundtrip(env, capsys, tmp_path):
     # row present again: both files answer searches after a fresh index pass
     assert main([*base, "trash"]) == 0
     assert "0 trashed" in capsys.readouterr().err
+
+
+def test_trash_restore_never_clobbers_new_file(env, capsys):
+    """If a different file occupies the original path, restore skips it and
+    keeps the manifest record (no silent data loss)."""
+    import shutil
+    from pathlib import Path
+
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    dup_path = Path(root) / "copy2.png"
+    shutil.copyfile(paths[0], dup_path)
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    assert main([*base, "dup", "--hamming", "2", "--trash-duplicates"]) == 0
+    capsys.readouterr()
+    assert main([*base, "trash"]) == 0
+    listing = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(listing) == 1
+    original = Path(listing[0]["original"])
+    original.write_bytes(b"a brand-new unrelated file")  # path re-occupied
+
+    assert main([*base, "trash", "--restore-all"]) == 0
+    captured = capsys.readouterr()
+    out = json.loads(captured.out.strip().splitlines()[-1])
+    assert out["restored"] == [] and out["remaining"] == 1  # record kept
+    assert "skip" in captured.err
+    assert original.read_bytes() == b"a brand-new unrelated file"  # untouched
+
+
+def test_trash_restore_flag_without_ids_errors(env, capsys):
+    base, root, paths = env
+    with pytest.raises(SystemExit, match="restore"):
+        main([*base, "trash", "--restore"])

@@ -32,7 +32,7 @@ def test_trash_duplicates(tmp_path, image_dir):
     survivors = [p for p in (paths[0], dup_path) if p.exists()]
     assert len(survivors) == 1
     trash = get_app_paths(data_dir).root / "trash"
-    moved = [p for p in trash.iterdir() if p.name != "trash.jsonl"]
+    moved = [p for p in trash.iterdir() if not p.name.startswith("trash.jsonl")]
     assert len(moved) == 1
     # the manifest records the move so `ket trash --restore` can undo it
     from kobato_eyes_tpu.utils.fs import load_trash_records

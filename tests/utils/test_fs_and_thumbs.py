@@ -60,3 +60,35 @@ def test_thumbnail_failure_paths(tmp_path):
     bad = tmp_path / "bad.png"
     bad.write_bytes(b"not an image")
     assert generate_thumbnail(bad, cache_dir=tmp_path / "c") is None
+
+
+def test_trash_manifest_skips_misshaped_lines(tmp_path):
+    """Valid-JSON-but-wrong-shape lines are skipped like corrupt ones — the
+    'never fatal' contract covers schema, not just syntax."""
+    from kobato_eyes_tpu.utils.fs import append_trash_record, load_trash_records
+
+    append_trash_record(tmp_path, file_id=1, original="/a/x.png", trashed="/t/x.png")
+    with open(tmp_path / "trash.jsonl", "a") as fh:
+        fh.write("null\n")
+        fh.write('{"foo": 1}\n')
+        fh.write('{"file_id": "not-int", "original": "/a", "trashed": "/t"}\n')
+        fh.write("{broken json\n")
+    recs = load_trash_records(tmp_path)
+    assert len(recs) == 1 and recs[0]["file_id"] == 1
+
+
+def test_remove_trash_records_preserves_concurrent_appends(tmp_path):
+    from kobato_eyes_tpu.utils.fs import (
+        append_trash_record,
+        load_trash_records,
+        remove_trash_records,
+    )
+
+    append_trash_record(tmp_path, file_id=1, original="/a/1", trashed="/t/1")
+    append_trash_record(tmp_path, file_id=2, original="/a/2", trashed="/t/2")
+    # record 3 lands "concurrently" (after the caller's load, before rewrite):
+    # remove re-reads under the lock, so it must survive
+    append_trash_record(tmp_path, file_id=3, original="/a/3", trashed="/t/3")
+    remove_trash_records(tmp_path, {"/t/1"})
+    left = {r["file_id"] for r in load_trash_records(tmp_path)}
+    assert left == {2, 3}
