@@ -35,6 +35,8 @@ from pathlib import Path
 from typing import Any
 from urllib.parse import parse_qs, urlparse
 
+import numpy as np
+
 from kobato_eyes_tpu.db.connection import bootstrap
 from kobato_eyes_tpu.db.repository import autocomplete_tags, load_tag_thresholds, tag_stats
 from kobato_eyes_tpu.query.engine import EpochManager, search_epoch
@@ -88,6 +90,10 @@ class QueryServer:
         # version: it is O(N) sqlite + object-build work that the engine's
         # files_token makes otherwise unread in the steady state
         self._dup_metas: tuple[int, list] | None = None
+        # /similar: exact device index over the catalog's stored embeddings,
+        # rebuilt lazily per epoch version (same invalidation as /dup metas)
+        self._sim_lock = threading.Lock()
+        self._sim_index: tuple | None = None
         # /thumb cache lives next to the catalog (reference keeps thumbnails
         # under the app cache dir; path+size+mtime keying is in image_io)
         base = self._data_root if self._data_root is not None else self._db_path.parent
@@ -339,6 +345,55 @@ class QueryServer:
         return {"trashed": trashed, "failed": failed,
                 "note": "POST /reload or /delta to refresh the serving epoch"}
 
+    def similar(self, file_id: int, *, k: int) -> dict[str, Any]:
+        """Find-similar ("more like this") over the catalog's stored
+        embeddings — the activated ANN story (reference's dormant
+        ``src/index``) served per file.  Exact cosine search: at catalog
+        scale the full corpus matmul is the measured-fastest index."""
+        from kobato_eyes_tpu.core.pipeline.embed_stage import load_embeddings
+        from kobato_eyes_tpu.db.repository import get_file_by_id
+        from kobato_eyes_tpu.index.flat import FlatIndex
+
+        epoch = self._manager.current
+        if epoch is None:
+            raise RuntimeError("no epoch yet; POST /reload first")
+        with self._sim_lock:
+            cached = self._sim_index
+            if cached is None or cached[0] != epoch.version:
+                with self._conn_lock:
+                    ids, vecs = load_embeddings(self._conn())
+                if len(ids) == 0:
+                    raise NotFound(
+                        "catalog has no embeddings; enable index settings and re-index"
+                    )
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                unit = vecs / np.maximum(norms, 1e-30)
+                index = FlatIndex(unit, ids, normalize=False)
+                pos = {int(f): i for i, f in enumerate(ids)}
+                cached = (epoch.version, index, pos, unit)
+                self._sim_index = cached
+            _, index, pos, unit = cached
+        row = pos.get(int(file_id))
+        if row is None:
+            raise NotFound(f"no embedding for file {file_id}")
+        k = max(1, min(100, k))
+        scores, nn = index.search(unit[row][None, :], k=min(k + 1, len(index)))
+        results = []
+        with self._conn_lock:
+            conn = self._conn()
+            for score, fid in zip(scores[0].tolist(), nn[0].tolist()):
+                if int(fid) == int(file_id):
+                    continue  # "more like this" excludes the query itself
+                frow = get_file_by_id(conn, int(fid))
+                results.append({
+                    "file_id": int(fid),
+                    "path": frow["path"] if frow is not None else None,
+                    "score": round(float(score), 4),
+                })
+                if len(results) >= k:
+                    break
+        return {"epoch": epoch.version, "query": int(file_id), "results": results}
+
     def complete(self, prefix: str, *, limit: int) -> dict[str, Any]:
         with self._conn_lock:
             return {"completions": autocomplete_tags(self._conn(), prefix, limit=limit)}
@@ -405,6 +460,12 @@ class _Handler(BaseHTTPRequestHandler):
                     limit=int(qs.get("limit", 100)),
                     audit=qs.get("audit", "0") not in ("0", "", "false"),
                     refine=qs.get("refine", "0") not in ("0", "", "false"),
+                ))
+            elif url.path == "/similar":
+                if "id" not in qs:
+                    raise ValueError("missing id parameter")
+                self._reply(200, self.core.similar(
+                    int(qs["id"]), k=int(qs.get("k", 12))
                 ))
             elif url.path == "/file":
                 if "id" not in qs:

@@ -391,3 +391,45 @@ def test_trash_batch_survives_unmovable_file(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_similar_endpoint_over_stored_embeddings(tmp_path):
+    """GET /similar serves 'more like this' from catalog embeddings: nearest
+    neighbors by cosine, query excluded, index rebuilt on epoch change."""
+    import numpy as np
+
+    reset_bootstrap_cache()
+    db = tmp_path / "sim.sqlite"
+    conn = bootstrap(db)
+    from kobato_eyes_tpu.core.pipeline.embed_stage import store_embeddings
+
+    base_vec = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    near = np.array([0.95, 0.05, 0.0, 0.0], np.float32)
+    far = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+    fids = []
+    for i, v in enumerate((base_vec, near, far)):
+        fid = upsert_file(conn, path=f"/sim/{i}.png", size=10, mtime=1e9)
+        write_tagging_batch(conn, [TaggingItem(fid, [("t", 0.9, 0)])])
+        fids.append((fid, v))
+    with conn:
+        store_embeddings(conn, fids)
+    conn.close()
+
+    httpd, core = make_server(db)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = httpd.server_address
+        base = f"http://{host}:{port}"
+        out = _get(f"{base}/similar?id={fids[0][0]}&k=2")
+        got = [r["file_id"] for r in out["results"]]
+        assert got == [fids[1][0], fids[2][0]]  # near first, query excluded
+        assert out["results"][0]["score"] > out["results"][1]["score"]
+        assert out["results"][0]["path"] == "/sim/1.png"
+        # unknown id and missing embeddings -> 404s
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/similar?id=999999")
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
