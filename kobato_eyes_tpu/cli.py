@@ -658,6 +658,37 @@ def cmd_ann(args) -> int:
     paths = get_app_paths(args.data_dir or settings.data_dir).ensure()
     graph_path = paths.index_dir / "clip.hnsw"
     idx_cfg = settings.index
+
+    if args.similar_to is not None:
+        # find-similar by catalog id over STORED embeddings: no model needed
+        # (mirror of GET /similar; exact device cosine search)
+        from kobato_eyes_tpu.core.pipeline.embed_stage import load_embeddings
+        from kobato_eyes_tpu.index.flat import FlatIndex
+
+        conn = bootstrap(db)
+        try:
+            ids, vecs = load_embeddings(conn)
+            if len(ids) == 0:
+                raise SystemExit(
+                    "catalog has no embeddings; enable index settings and re-index"
+                )
+            pos = {int(f): i for i, f in enumerate(ids)}
+            row = pos.get(int(args.similar_to))
+            if row is None:
+                raise SystemExit(f"no embedding for file {args.similar_to}")
+            index = FlatIndex(vecs, ids)
+            scores, nn = index.search(vecs[row][None, :], k=min(args.limit + 1, len(index)))
+            shown = 0
+            for score, fid in zip(scores[0].tolist(), nn[0].tolist()):
+                if int(fid) == int(args.similar_to) or shown >= args.limit:
+                    continue
+                r = conn.execute("SELECT path FROM files WHERE id = ?", (int(fid),)).fetchone()
+                print(f"{score:8.4f}  {r['path'] if r else fid}")
+                shown += 1
+        finally:
+            conn.close()
+        return 0
+
     embedder = ImageEmbedder(
         preset=idx_cfg.preset, image_size=idx_cfg.image_size,
         patch_size=idx_cfg.patch_size, embed_dim=idx_cfg.embed_dim,
@@ -841,6 +872,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("ann", help="build / query the CLIP ANN index")
     p.add_argument("--build", action="store_true")
     p.add_argument("--query-image")
+    p.add_argument("--similar-to", type=int, metavar="FILE_ID",
+                   help="find-similar over stored embeddings (no model load)")
     p.add_argument("--limit", type=int, default=10)
     p.set_defaults(fn=cmd_ann)
 

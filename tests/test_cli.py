@@ -248,3 +248,35 @@ def test_trash_restore_flag_without_ids_errors(env, capsys):
     base, root, paths = env
     with pytest.raises(SystemExit, match="restore"):
         main([*base, "trash", "--restore"])
+
+
+def test_ann_similar_to_uses_stored_embeddings(env, capsys):
+    """ket ann --similar-to ranks by cosine over stored embeddings without
+    loading any model (CLI mirror of GET /similar)."""
+    import numpy as np
+
+    from kobato_eyes_tpu.core.pipeline.embed_stage import store_embeddings
+    from kobato_eyes_tpu.db.connection import bootstrap
+    from kobato_eyes_tpu.utils.paths import get_app_paths
+
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+    db = get_app_paths(base[3]).db_path
+    conn = bootstrap(db)
+    ids = [int(r["id"]) for r in conn.execute("SELECT id FROM files ORDER BY id")]
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(len(ids), 8)).astype(np.float32)
+    vecs[1] = vecs[0]  # plant an exact neighbor
+    with conn:
+        store_embeddings(conn, list(zip(ids, vecs)))
+    conn.close()
+
+    assert main([*base, "ann", "--similar-to", str(ids[0]), "--limit", "2"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    top_score = float(lines[0].split()[0])
+    assert top_score == pytest.approx(1.0, abs=1e-4)
+
+    with pytest.raises(SystemExit, match="no embedding"):
+        main([*base, "ann", "--similar-to", "999999"])
