@@ -433,3 +433,47 @@ def test_similar_endpoint_over_stored_embeddings(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_similar_index_rebuilds_on_epoch_swap(tmp_path):
+    """/similar's index is epoch-keyed: a /delta that lands a new embedding
+    makes the next query see it without a server restart."""
+    import numpy as np
+
+    reset_bootstrap_cache()
+    db = tmp_path / "simr.sqlite"
+    conn = bootstrap(db)
+    from kobato_eyes_tpu.core.pipeline.embed_stage import store_embeddings
+
+    a = upsert_file(conn, path="/r/a.png", size=10, mtime=1e9)
+    b = upsert_file(conn, path="/r/b.png", size=10, mtime=1e9)
+    for fid in (a, b):
+        write_tagging_batch(conn, [TaggingItem(fid, [("t", 0.9, 0)])])
+    va = np.array([1.0, 0.0], np.float32)
+    with conn:
+        store_embeddings(conn, [(a, va), (b, np.array([0.0, 1.0], np.float32))])
+    conn.close()
+
+    httpd, core = make_server(db)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = httpd.server_address
+        base = f"http://{host}:{port}"
+        first = _get(f"{base}/similar?id={a}&k=5")
+        assert [r["file_id"] for r in first["results"]] == [b]
+
+        conn = bootstrap(db)
+        c = upsert_file(conn, path="/r/c.png", size=10, mtime=1e9)
+        write_tagging_batch(conn, [TaggingItem(c, [("t", 0.9, 0)])])
+        with conn:
+            store_embeddings(conn, [(c, va)])  # exact twin of a
+        conn.close()
+        _post(f"{base}/delta", {"changed_file_ids": [c]})
+
+        second = _get(f"{base}/similar?id={a}&k=5")
+        assert [r["file_id"] for r in second["results"]] == [c, b]
+        assert second["epoch"] == first["epoch"] + 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
