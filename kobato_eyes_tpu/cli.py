@@ -662,29 +662,28 @@ def cmd_ann(args) -> int:
     if args.similar_to is not None:
         # find-similar by catalog id over STORED embeddings: no model needed
         # (mirror of GET /similar; exact device cosine search)
-        from kobato_eyes_tpu.core.pipeline.embed_stage import load_embeddings
-        from kobato_eyes_tpu.index.flat import FlatIndex
+        from kobato_eyes_tpu.core.pipeline.embed_stage import (
+            load_embedding,
+            load_embeddings,
+        )
+        from kobato_eyes_tpu.index.flat import FlatIndex, find_similar
 
         conn = bootstrap(db)
         try:
+            qvec = load_embedding(conn, args.similar_to)
+            if qvec is None:
+                raise SystemExit(f"no embedding for file {args.similar_to}")
             ids, vecs = load_embeddings(conn)
             if len(ids) == 0:
                 raise SystemExit(
                     "catalog has no embeddings; enable index settings and re-index"
                 )
-            pos = {int(f): i for i, f in enumerate(ids)}
-            row = pos.get(int(args.similar_to))
-            if row is None:
-                raise SystemExit(f"no embedding for file {args.similar_to}")
             index = FlatIndex(vecs, ids)
-            scores, nn = index.search(vecs[row][None, :], k=min(args.limit + 1, len(index)))
-            shown = 0
-            for score, fid in zip(scores[0].tolist(), nn[0].tolist()):
-                if int(fid) == int(args.similar_to) or shown >= args.limit:
-                    continue
-                r = conn.execute("SELECT path FROM files WHERE id = ?", (int(fid),)).fetchone()
+            for fid, score in find_similar(
+                index, qvec, exclude_id=args.similar_to, k=args.limit
+            ):
+                r = conn.execute("SELECT path FROM files WHERE id = ?", (fid,)).fetchone()
                 print(f"{score:8.4f}  {r['path'] if r else fid}")
-                shown += 1
         finally:
             conn.close()
         return 0

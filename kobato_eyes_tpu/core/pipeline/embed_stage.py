@@ -84,6 +84,20 @@ def load_embeddings(
     return ids, vecs
 
 
+def load_embedding(
+    conn: sqlite3.Connection, file_id: int, *, model: str = EMBED_MODEL_NAME
+) -> np.ndarray | None:
+    """One file's stored vector (point query — find-similar surfaces use
+    this instead of retaining a host copy of the whole corpus)."""
+    row = conn.execute(
+        "SELECT dim, vector FROM embeddings WHERE model = ? AND file_id = ?",
+        (model, int(file_id)),
+    ).fetchone()
+    if row is None:
+        return None
+    return np.frombuffer(row[1], dtype=np.float32, count=int(row[0]))
+
+
 def missing_embedding_records(
     conn: sqlite3.Connection,
     records: Sequence[FileRecord],

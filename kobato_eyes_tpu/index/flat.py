@@ -45,3 +45,19 @@ class FlatIndex:
         k = min(k, len(self))
         scores, idx = _search_kernel(jnp.asarray(q), self._corpus_t, k=k)
         return np.asarray(scores), self.ids[np.asarray(idx)]
+
+
+def find_similar(
+    index: FlatIndex, query_vec: np.ndarray, *, exclude_id: int, k: int
+) -> list[tuple[int, float]]:
+    """Top-k (file_id, score) neighbors of one vector, the query excluded —
+    the shared ranking behind GET /similar and `ket ann --similar-to`."""
+    scores, nn = index.search(np.asarray(query_vec)[None, :], k=min(k + 1, len(index)))
+    out: list[tuple[int, float]] = []
+    for score, fid in zip(scores[0].tolist(), nn[0].tolist()):
+        if int(fid) == int(exclude_id):
+            continue
+        out.append((int(fid), float(score)))
+        if len(out) >= k:
+            break
+    return out

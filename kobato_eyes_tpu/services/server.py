@@ -7,14 +7,19 @@ query is one compiled dispatch, and epoch swaps are atomic reference swaps
 (readers in flight keep the version they started with — the quiesce story at
 serving time).
 
-Stdlib-only (ThreadingHTTPServer).  Endpoints:
+Stdlib HTTP plumbing (ThreadingHTTPServer).  Endpoints:
 
 - ``GET /healthz``              → liveness + epoch version/shape
 - ``GET /search?q=…&order=…&limit=…&offset=…``
 - ``GET /complete?prefix=…&limit=…``
 - ``GET /stats?like=…&category=…&limit=…``
-- ``GET /dup?hamming=…&size_ratio=…&limit=…&audit=1`` → duplicate clusters
-  (+ optional cohesion audit) — the reference dup-tab workflow, served
+- ``GET /dup?hamming=…&size_ratio=…&limit=…&audit=1&refine=1`` → duplicate
+  clusters (+ cohesion audit; refine verifies the returned window with the
+  configured tile-hash + pixel-MAE passes) — the reference dup-tab workflow
+- ``GET /file?id=…``            → catalog row + hydrated tags
+- ``GET /thumb?id=…&size=…``    → cached WEBP thumbnail bytes
+- ``GET /similar?id=…&k=…``     → find-similar over stored embeddings
+- ``POST /trash`` (JSON ``{"file_ids": [...]}``) → reversible soft delete
 - ``POST /reload``              → full epoch rebuild + threshold reload
 - ``POST /delta`` (JSON ``{"changed_file_ids": [...]}``) → incremental swap
 
@@ -34,8 +39,6 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Any
 from urllib.parse import parse_qs, urlparse
-
-import numpy as np
 
 from kobato_eyes_tpu.db.connection import bootstrap
 from kobato_eyes_tpu.db.repository import autocomplete_tags, load_tag_thresholds, tag_stats
@@ -210,14 +213,17 @@ class QueryServer:
             clusters = scanner.build_clusters(
                 metas, files_token=("epoch", epoch.version, key)
             )
-            shown = clusters[: max(0, int(limit))]
+            lim = max(0, int(limit))
+            shown = clusters[:lim]
             if refine and shown:
                 # the reference auto-refines after every scan
                 # (dup_tab.py:655-656, tile grid/tile/max_bits spins + the
-                # pixel-MAE pass); schema defaults mirror those app params.
-                # Only the RETURNED slice is refined — refinement decodes
-                # real images, so a request's IO work must be bounded by
-                # its own limit, not by the catalog's cluster count.
+                # pixel-MAE pass); settings mirror `ket dup --refine`.
+                # Refinement decodes real images, so a request's IO work is
+                # bounded: refine limit-sized chunks, refilling from later
+                # clusters when verification empties the window, up to 4x
+                # the limit — starvation needs most of the catalog to be
+                # false positives, not just the first window.
                 from kobato_eyes_tpu.core.config.schema import RefineSettings
                 from kobato_eyes_tpu.dup.refine_clusters import (
                     refine_by_pixels,
@@ -225,12 +231,21 @@ class QueryServer:
                 )
 
                 r = self._refine_settings or RefineSettings()
-                shown = refine_by_tilehash(
-                    shown, grid=r.grid, tile=r.tile, max_bits=r.max_bits
-                )
-                shown = refine_by_pixels(
-                    shown, mae_thr=r.mae_threshold, thumb_size=r.mae_size
-                )
+                survivors: list = []
+                start = 0
+                budget = 4 * max(1, lim)
+                while start < len(clusters) and len(survivors) < lim and budget > 0:
+                    chunk = clusters[start : start + lim]
+                    start += len(chunk)
+                    budget -= len(chunk)
+                    chunk = refine_by_tilehash(
+                        chunk, grid=r.grid, tile=r.tile, max_bits=r.max_bits
+                    )
+                    chunk = refine_by_pixels(
+                        chunk, mae_thr=r.mae_threshold, thumb_size=r.mae_size
+                    )
+                    survivors.extend(chunk)
+                shown = survivors[:lim]
             elapsed_ms = round((time.perf_counter() - t0) * 1e3, 2)
             out: dict[str, Any] = {
                 "epoch": epoch.version,
@@ -350,9 +365,11 @@ class QueryServer:
         embeddings — the activated ANN story (reference's dormant
         ``src/index``) served per file.  Exact cosine search: at catalog
         scale the full corpus matmul is the measured-fastest index."""
-        from kobato_eyes_tpu.core.pipeline.embed_stage import load_embeddings
-        from kobato_eyes_tpu.db.repository import get_file_by_id
-        from kobato_eyes_tpu.index.flat import FlatIndex
+        from kobato_eyes_tpu.core.pipeline.embed_stage import (
+            load_embedding,
+            load_embeddings,
+        )
+        from kobato_eyes_tpu.index.flat import FlatIndex, find_similar
 
         epoch = self._manager.current
         if epoch is None:
@@ -366,33 +383,33 @@ class QueryServer:
                     raise NotFound(
                         "catalog has no embeddings; enable index settings and re-index"
                     )
-                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-                unit = vecs / np.maximum(norms, 1e-30)
-                index = FlatIndex(unit, ids, normalize=False)
-                pos = {int(f): i for i, f in enumerate(ids)}
-                cached = (epoch.version, index, pos, unit)
+                # only the device-resident index is retained — the query
+                # vector comes from a per-request point query, so no host
+                # copy of the corpus outlives the build
+                cached = (epoch.version, FlatIndex(vecs, ids))
                 self._sim_index = cached
-            _, index, pos, unit = cached
-        row = pos.get(int(file_id))
-        if row is None:
+            _, index = cached
+        with self._conn_lock:
+            qvec = load_embedding(self._conn(), file_id)
+        if qvec is None:
             raise NotFound(f"no embedding for file {file_id}")
         k = max(1, min(100, k))
-        scores, nn = index.search(unit[row][None, :], k=min(k + 1, len(index)))
-        results = []
+        neighbors = find_similar(index, qvec, exclude_id=file_id, k=k)
         with self._conn_lock:
-            conn = self._conn()
-            for score, fid in zip(scores[0].tolist(), nn[0].tolist()):
-                if int(fid) == int(file_id):
-                    continue  # "more like this" excludes the query itself
-                frow = get_file_by_id(conn, int(fid))
-                results.append({
-                    "file_id": int(fid),
-                    "path": frow["path"] if frow is not None else None,
-                    "score": round(float(score), 4),
-                })
-                if len(results) >= k:
-                    break
-        return {"epoch": epoch.version, "query": int(file_id), "results": results}
+            ph = ",".join("?" * len(neighbors)) or "NULL"
+            rows = self._conn().execute(
+                f"SELECT id, path FROM files WHERE id IN ({ph})",
+                [fid for fid, _ in neighbors],
+            ).fetchall()
+        paths = {int(r["id"]): r["path"] for r in rows}
+        return {
+            "epoch": epoch.version,
+            "query": int(file_id),
+            "results": [
+                {"file_id": fid, "path": paths.get(fid), "score": round(score, 4)}
+                for fid, score in neighbors
+            ],
+        }
 
     def complete(self, prefix: str, *, limit: int) -> dict[str, Any]:
         with self._conn_lock:

@@ -22,7 +22,10 @@ from hypothesis import HealthCheck, given, settings
 
 # soak knob: KET_FUZZ_SCALE=20 multiplies every max_examples (relay-down bug hunts, CI soak jobs)
 import os as _os
-_FUZZ_SCALE = max(1, int(_os.environ.get("KET_FUZZ_SCALE", "1")))
+try:
+    _FUZZ_SCALE = max(1, int(_os.environ.get("KET_FUZZ_SCALE", "1")))
+except ValueError:
+    _FUZZ_SCALE = 1  # env policy: bad values degrade to defaults, never raise
 from hypothesis import strategies as st
 
 from kobato_eyes_tpu.db.connection import bootstrap, reset_bootstrap_cache
