@@ -131,3 +131,44 @@ def test_pixai_ips_propagation():
     assert "some_franchise" in by_name
     assert by_name["some_franchise"].score == pytest.approx(0.95)
     assert by_name["some_franchise"].category == TagCategory.COPYRIGHT
+
+
+def test_pixai_budget_cap_and_placeholder_drop():
+    """Per-category budgets skip overflow tags by score order, the hard cap
+    truncates, and __pixai_broken placeholders never surface
+    (pixai_onnx.py:366-436 policy)."""
+    from kobato_eyes_tpu.models.labels import BROKEN_PLACEHOLDER_PREFIX
+
+    labels = [
+        TagMeta("g1", TagCategory.GENERAL),
+        TagMeta("g2", TagCategory.GENERAL),
+        TagMeta("g3", TagCategory.GENERAL),
+        TagMeta(f"{BROKEN_PLACEHOLDER_PREFIX}7", TagCategory.GENERAL),
+        TagMeta("c1", TagCategory.CHARACTER),
+        TagMeta("c2", TagCategory.CHARACTER),
+    ]
+    cats = np.array([int(m.category) for m in labels], dtype=np.int32)
+    names = [m.name for m in labels]
+    # scores descend g1 > g2 > g3; placeholder scores highest of all;
+    # both characters above their threshold
+    probs = np.array([[0.9, 0.8, 0.7, 0.99, 0.95, 0.93]], dtype=np.float32)
+    thr = {0: 0.4, 4: 0.8, 3: 0.8}
+    thr_vec = build_threshold_vector(cats, thr, score_floor=0.1)
+    caps = ((0, 128), (4, 10))
+    scores, idx = topk_hits_by_category(
+        jnp.asarray(probs), jnp.asarray(thr_vec), jnp.asarray(cats), caps=caps
+    )
+    got = select_pixai(
+        np.asarray(scores), np.asarray(idx), probs,
+        cats=cats, names=names, limits={0: 2, 4: 1}, hard_cap=3,
+        cat_thresholds=thr, score_floor=0.1,
+        tag_meta={m.name: m for m in labels},
+        name_to_idx={m.name: i for i, m in enumerate(labels)},
+    )
+    tags = got[0].tags
+    got_names = [t.name for t in tags]
+    assert all(not n.startswith("__") for n in got_names)  # placeholder gone
+    assert got_names.count("c2") == 0  # character budget of 1: best only
+    assert "c1" in got_names
+    assert len([n for n in got_names if n.startswith("g")]) <= 2  # general cap
+    assert len(tags) <= 3  # hard cap
