@@ -63,3 +63,22 @@ def test_vit_forward_flops_closed_form():
     assert abs(one_layer - 454.3e9) / 454.3e9 < 0.03
     # full model is depth x the per-layer term plus fixed ends
     assert full > 11 * (one_layer - 2 * 768 * 13461 * 32)
+
+
+def test_mfu_and_roofline_edge_inputs():
+    import pytest
+    from kobato_eyes_tpu.utils.profiling import mfu, roofline_summary
+
+    assert mfu(1e12, 0.0) is None  # zero elapsed: undefined, not inf
+    assert mfu(1e12, 1.0, peak_flops=None) is None or mfu(1e12, 1.0, peak_flops=None) >= 0
+    assert mfu(1e12, 1.0, peak_flops=2e12) == pytest.approx(0.5)
+    out = roofline_summary(0.0, 0.0)
+    assert out["achieved_tflops"] == 0.0
+
+
+def test_device_trace_none_is_noop(tmp_path):
+    from kobato_eyes_tpu.utils.profiling import device_trace
+
+    with device_trace(None):
+        pass  # no-op contract: no dir created, no error
+    assert not any(tmp_path.iterdir())
