@@ -85,3 +85,26 @@ def test_hnsw_incremental_ids():
     idx.add(b, ids=np.arange(5000, 5050))
     _, ids = idx.search(b[:5], k=1, ef=50)
     assert all(i >= 5000 for i in ids[:, 0])  # each b-query finds a b vector
+
+
+def test_hnsw_dim_mismatch_and_save_load_errors(tmp_path):
+    """Wrong-dim adds are typed errors; save to an unwritable path and load
+    of a missing file raise OSError with the path named."""
+    import numpy as np
+    import pytest
+
+    from kobato_eyes_tpu.index.hnsw import HnswIndex
+
+    idx = HnswIndex(dim=8)
+    with pytest.raises(ValueError, match="dim"):
+        idx.add(np.zeros((2, 4), np.float32))
+    idx.add(np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32))
+    with pytest.raises(OSError, match="save failed"):
+        idx.save(tmp_path / "no_such_dir" / "x.hnsw")
+    with pytest.raises(OSError, match="load failed"):
+        HnswIndex.load(tmp_path / "missing.hnsw", dim=8)
+    # round-trip still works after the failures
+    p = tmp_path / "ok.hnsw"
+    idx.save(p)
+    again = HnswIndex.load(p, dim=8)
+    assert len(again) == 4 and again.dim == 8
