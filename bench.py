@@ -5,9 +5,17 @@ Prints ONE JSON line::
     {"metric": "dup_scan_pairs_per_sec_70k", "value": N, "unit": "pairs/s",
      "vs_baseline": R}
 
-``value`` is the device engine's candidate-scan throughput (total pair space
-/ wall time, end-to-end including edge extraction and DSU clustering).
-``vs_baseline`` is the ratio against the CPU reference implementation
+``value`` is the warm-engine NON-memoized scan rate (total pair space / wall
+time): the engine and XLA caches are warm, but one hash is flipped between
+timed runs so the snapshot token changes and the full pipeline — columnar
+prep, device candidate scan, edge extraction, DSU cluster assembly — executes
+every iteration.  That makes it apples-to-apples with the CPU baseline, which
+pays full prep+assembly every run.  The memoized steady-state re-scan
+(unchanged snapshot: assembly memo hit) is reported separately as
+``warm_memo_pairs_per_sec``, the cold first-scan as ``cold_scan_s``, and the
+device-dispatch-only rate as ``device_dispatch_pairs_per_sec``.
+
+``vs_baseline`` is value / the CPU reference implementation's rate
 (dup/cpu_ref.py — a faithful re-implementation of the reference's bucketed
 Python pair loops, src/dup/scanner.py:203-356) on the *same* hashes, with a
 cluster-identity assertion so speed never comes at the cost of parity.
@@ -19,6 +27,7 @@ both sides run the full 70k.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -79,12 +88,18 @@ def main() -> None:
     from kobato_eyes_tpu.utils.metrics import metrics
 
     scanner = TpuDuplicateScanner(config, block=4096)
-    # The timed runs measure the steady-state re-scan (the interactive
-    # workload): same catalog snapshot, so the engine's snapshot caches are
-    # legitimately warm.  files_token tells the engine the snapshot is
-    # unchanged; the device candidate scan still runs fully every iteration.
     token = ("bench", SEED, n)
     device_clusters = scanner.build_clusters(files, files_token=token)  # warmup/compile
+
+    # --- HEADLINE: warm non-memoized scan.  A variant snapshot with ONE
+    # flipped hash bit alternates with the real one, so every timed run sees
+    # a changed token + changed edge set: columnar prep, device scan, and
+    # full DSU assembly all execute (no memo hit) — the same work the CPU
+    # baseline pays each run.  The engine object (and XLA compile cache)
+    # stays warm, which is the honest production steady state.
+    files_b = list(files)
+    files_b[0] = dataclasses.replace(files_b[0], phash=int(hashes[0]) ^ 1)
+    token_b = ("bench-b", SEED, n)
     # median of 3 timed runs: the tunnel VM's wall clock is noisy enough to
     # swing a single run by 30%+, which would make round-over-round numbers
     # meaningless
@@ -93,6 +108,7 @@ def main() -> None:
     TOP_PHASES = ("dup.scan.prep", "dup.scan.call", "dup.assemble")
     runs: list[tuple[float, dict]] = []
     for _ in range(3):
+        scanner.build_clusters(files_b, files_token=token_b)  # invalidate memo
         metrics.reset()
         t0 = time.perf_counter()
         device_clusters = scanner.build_clusters(files, files_token=token)
@@ -111,10 +127,23 @@ def main() -> None:
     top_sum = sum(phase_report.get(p, 0.0) for p in TOP_PHASES)
     residual = device_s - top_sum
     print(
-        f"device scan {device_s:.3f}s (median of 3), phases: {phase_report}; "
+        f"warm non-memo scan {device_s:.3f}s (median of 3), phases: {phase_report}; "
         f"top-phase sum {top_sum:.3f}s, residual {residual * 1e3:.1f}ms "
         f"({100 * residual / device_s:.1f}% of wall); "
         f"device-dispatch-only {kernel_s:.3f}s = {pair_space / kernel_s:.3g} pairs/s",
+        file=sys.stderr,
+    )
+
+    # --- secondary: memoized steady-state re-scan (unchanged snapshot; the
+    # interactive slider workload — assembly memo hit, device scan still runs)
+    memo_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scanner.build_clusters(files, files_token=token)
+        memo_times.append(time.perf_counter() - t0)
+    memo_s = sorted(memo_times)[1]
+    print(
+        f"warm memoized re-scan {memo_s:.3f}s = {pair_space / memo_s:.3g} pairs/s",
         file=sys.stderr,
     )
 
@@ -180,6 +209,7 @@ def main() -> None:
                 "vs_baseline": round(device_pps / cpu_pps, 2),
                 # attribution for relay-variance days: the same compiled
                 # kernel's dispatch-only rate and the cold first-scan cost
+                "warm_memo_pairs_per_sec": round(pair_space / memo_s, 1),
                 "device_dispatch_pairs_per_sec": round(pair_space / kernel_s, 1),
                 "cold_scan_s": round(cold_s, 3),
                 "cpu_ref_pairs_per_sec": round(cpu_pps, 1),
