@@ -120,7 +120,6 @@ def main() -> None:
     runs.sort(key=lambda r: r[0])
     device_s, phase_report = runs[len(runs) // 2]
     device_pps = pair_space / device_s
-    kernel_s = phase_report.get("dup.scan.device", device_s)
     # phase accounting must explain the wall time: top-level phases are
     # disjoint (dup.assemble.* are children of dup.assemble), so their sum
     # plus a small residual (timer overhead, logging) should match wall
@@ -129,8 +128,36 @@ def main() -> None:
     print(
         f"warm non-memo scan {device_s:.3f}s (median of 3), phases: {phase_report}; "
         f"top-phase sum {top_sum:.3f}s, residual {residual * 1e3:.1f}ms "
-        f"({100 * residual / device_s:.1f}% of wall); "
-        f"device-dispatch-only {kernel_s:.3f}s = {pair_space / kernel_s:.3g} pairs/s",
+        f"({100 * residual / device_s:.1f}% of wall)",
+        file=sys.stderr,
+    )
+
+    # --- attribution: the device bitmask kernel, measured on an EXPLICIT
+    # device-path scanner.  At 70k the engine routes to the vectorized host
+    # scan (transfers over the tunneled link cost more than the whole host
+    # pass — ops/hamming.py host_window_scan); the device path is the
+    # production route past the crossover (KET_DUP_HOST_SCAN_MAX), so its
+    # kernel rate is reported for attribution and its clusters are asserted
+    # identical to the host path's.
+    from kobato_eyes_tpu.dup.engine import cluster_ids as _cluster_ids
+
+    dev_scanner = TpuDuplicateScanner(config, block=4096, host_scan_max=0)
+    dev_clusters = dev_scanner.build_clusters(files, files_token=token)  # compile+warm
+    if _cluster_ids(dev_clusters) != _cluster_ids(device_clusters):
+        raise SystemExit("device-path clusters != host-path clusters")
+    dev_scanner.build_clusters(files_b, files_token=token_b)
+    metrics.reset()
+    t0 = time.perf_counter()
+    dev_scanner.build_clusters(files, files_token=token)
+    dev_wall = time.perf_counter() - t0
+    dev_phases = {
+        name: round(stats["total"], 4)
+        for name, stats in metrics.snapshot()["timers"].items()
+    }
+    kernel_s = dev_phases.get("dup.scan.device", dev_wall)
+    print(
+        f"device-path scan {dev_wall:.3f}s (kernel dispatch {kernel_s:.3f}s = "
+        f"{pair_space / kernel_s:.3g} pairs/s), phases: {dev_phases}",
         file=sys.stderr,
     )
 

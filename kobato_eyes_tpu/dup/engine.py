@@ -36,12 +36,13 @@ class TpuDuplicateScanner:
         *,
         block: int = 2048,
         mesh=None,  # jax.sharding.Mesh: shard the candidate scan over chips
+        host_scan_max: int | None = None,  # host/device crossover override
     ) -> None:
         self._config = config or DuplicateScanConfig()
         self._block = block
         self._scanner = BandedHammingScanner(
             band_bits=self._config.band_bits, band_count=self._config.band_count,
-            mesh=mesh,
+            mesh=mesh, host_scan_max=host_scan_max,
         )
         # per-file string sort keys survive across scans (service steady state)
         self._key_cache: dict[int, tuple[object, str, str, str, int]] = {}
@@ -49,7 +50,7 @@ class TpuDuplicateScanner:
         # columnar prep (ids/phash/sizes) reused across scans when the caller
         # vouches the file snapshot is unchanged via ``files_token`` — the
         # np.fromiter passes over 70k dataclasses are identical every scan
-        self._prep_cache: tuple[object, bool, tuple] | None = None
+        self._prep_cache: tuple[object, bool, tuple, object] | None = None
         # full-assembly memo: identical edges + same snapshot -> same clusters
         self._assembly_memo: tuple[object, tuple, list[DuplicateCluster]] | None = None
 
@@ -165,7 +166,7 @@ class TpuDuplicateScanner:
         want_cos = cfg.cosine_threshold is not None
         cache = self._prep_cache
         if files_token is not None and cache is not None:
-            tok, had_cos, cols = cache
+            tok, had_cos, cols = cache[:3]
             if tok == files_token and had_cos == want_cos:
                 return cols
 
@@ -174,8 +175,45 @@ class TpuDuplicateScanner:
         if len(candidates) < 2:
             cols = (empty, candidates, empty, empty, None)
             if files_token is not None:
-                self._prep_cache = (files_token, want_cos, cols)
+                self._prep_cache = (files_token, want_cos, cols, None)
             return cols
+
+        # Identity-delta fast path: a changed snapshot whose meta objects are
+        # mostly the SAME live objects as the cached one (the incremental
+        # catalog case — a few files re-hashed, the rest untouched) patches
+        # only the changed rows instead of re-running three np.fromiter
+        # passes over 70k dataclasses.  Strong refs in the cached cols keep
+        # id() comparisons sound.  Cosine snapshots skip this (embedding
+        # columns are not delta-patched).
+        if (
+            not want_cos
+            and cache is not None
+            and cache[1] == want_cos
+            and cache[3] is not None
+            and len(cache[2][1]) == len(candidates)
+        ):
+            _, _, (c_ids, c_unique, c_ph, c_sizes, _), c_meta_ids = cache
+            new_meta_ids = np.fromiter(
+                map(id, candidates), dtype=np.uint64, count=len(candidates)
+            )
+            diff = np.flatnonzero(new_meta_ids != c_meta_ids)
+            if len(diff) <= max(64, len(candidates) // 32):
+                ids = c_ids.copy()
+                ph = c_ph.copy()
+                sizes = c_sizes.copy()
+                for i in diff.tolist():
+                    f = candidates[i]
+                    ids[i] = f.file_id
+                    ph[i] = f.phash & U64_MASK
+                    sizes[i] = f.size or 0
+                ids_ok = bool(np.array_equal(ids[diff], c_ids[diff])) or (
+                    len(np.unique(ids)) == len(ids)
+                )
+                if ids_ok:
+                    cols = (ids, candidates, ph, sizes, None)
+                    if files_token is not None:
+                        self._prep_cache = (files_token, want_cos, cols, new_meta_ids)
+                    return cols
 
         # Rows sharing a file_id would self-pair in index space; the reference
         # skips a.file_id == b.file_id pairs, so deduplicate rows up front.
@@ -211,7 +249,14 @@ class TpuDuplicateScanner:
                 embeddings = np.array([f.embedding for f in unique], dtype=np.float32)
         cols = (ids, unique, ph, sizes, embeddings)
         if files_token is not None:
-            self._prep_cache = (files_token, want_cos, cols)
+            # meta_ids enable the identity-delta fast path ONLY when no id
+            # dedup occurred (unique is positionally the candidates list)
+            meta_ids = (
+                np.fromiter(map(id, unique), dtype=np.uint64, count=len(unique))
+                if unique is candidates or len(unique) == len(candidates)
+                else None
+            )
+            self._prep_cache = (files_token, want_cos, cols, meta_ids)
         return cols
 
     def _scan_edges(

@@ -128,14 +128,22 @@ class NodeColumnCache:
     extraction) is invariant across scans of the same library; this cache
     keeps the columns as numpy arrays keyed by a sorted file-id axis so a
     steady-state re-scan (or each threshold of a sweep) gathers them with
-    searchsorted instead of 35k-iteration Python loops.  Hits are
-    all-or-nothing and validated by meta-object identity — any rebuilt or
-    mutated meta falls back to the exact per-node path.
+    searchsorted instead of 35k-iteration Python loops.  Hits are validated
+    per row by meta-object IDENTITY (the cache holds strong refs, so an id()
+    match proves the same live object), and misses are patched incrementally
+    — a delta scan where a handful of files changed recomputes only those
+    rows, which is what makes the warm non-memoized re-scan fast.
+
+    String sort keys are cached as integer ranks into sorted unique-string
+    axes (``*_u``): lexsorts stay integer-only, and a delta whose strings
+    already exist ranks its new rows with one searchsorted.  Only genuinely
+    new strings force a full re-rank of the affected column.
     """
 
     __slots__ = (
-        "fids", "metas", "sizes", "res", "extpri", "pathlow", "namelow",
-        "suffix", "path_r", "name_r", "suffix_r",
+        "fids", "metas", "meta_ids", "sizes", "res", "extpri",
+        "pathlow", "namelow", "suffix",
+        "path_u", "name_u", "suffix_u", "path_r", "name_r", "suffix_r",
     )
 
     def __init__(self) -> None:
@@ -143,84 +151,158 @@ class NodeColumnCache:
 
         self.fids = np.empty(0, dtype=np.int64)
         self.metas = np.empty(0, dtype=object)
+        self.meta_ids = np.empty(0, dtype=np.uint64)
         self.sizes = np.empty(0, dtype=np.int64)
         self.res = np.empty(0, dtype=np.int64)
         self.extpri = np.empty(0, dtype=np.int64)
         self.pathlow = np.empty(0, dtype="U1")
         self.namelow = np.empty(0, dtype="U1")
         self.suffix = np.empty(0, dtype="U1")
-        # order-isomorphic integer ranks of the string columns (recomputed on
-        # store over the whole axis): warm-scan lexsorts stay integer-only
+        # sorted unique-string axes + per-row ranks into them (order-isomorphic)
+        self.path_u = np.empty(0, dtype="U1")
+        self.name_u = np.empty(0, dtype="U1")
+        self.suffix_u = np.empty(0, dtype="U1")
         self.path_r = np.empty(0, dtype=np.int64)
         self.name_r = np.empty(0, dtype=np.int64)
         self.suffix_r = np.empty(0, dtype=np.int64)
 
-    def lookup(self, nodes, metas) -> tuple | None:
+    @staticmethod
+    def _ids_of(metas) -> "np.ndarray":
         import numpy as np
 
-        if len(self.fids) < len(nodes) or len(nodes) == 0:
-            return None
+        return np.fromiter(map(id, metas), dtype=np.uint64, count=len(metas))
+
+    def lookup_partial(self, nodes, metas) -> tuple:
+        """(gathered_cols | None, miss_positions).
+
+        ``gathered_cols`` is non-None only on a FULL hit (every node present
+        with identical meta objects); otherwise ``miss_positions`` lists the
+        positions in ``nodes`` whose rows must be recomputed and fed to
+        :meth:`store_delta`, after which :meth:`gather` returns the columns.
+        """
+        import numpy as np
+
+        k = len(nodes)
+        if len(self.fids) == 0 or k == 0:
+            return None, np.arange(k, dtype=np.int64)
         pos = np.searchsorted(self.fids, nodes)
         # bound-check EVERY position: the public assembly entries make no
         # sortedness promise about nodes, so any element may search past the
         # cached axis, not just the last one
-        if (pos >= len(self.fids)).any() or not (self.fids[pos] == nodes).all():
-            return None
-        stored = self.metas[pos]
-        if not all(a is b for a, b in zip(stored.tolist(), metas)):
-            return None
+        inb = pos < len(self.fids)
+        pos_c = np.where(inb, pos, 0)
+        hit = inb & (self.fids[pos_c] == nodes)
+        hit &= self.meta_ids[pos_c] == self._ids_of(metas)
+        if hit.all():
+            return (
+                self.sizes[pos], self.res[pos], self.extpri[pos],
+                self.path_r[pos], self.name_r[pos], self.suffix_r[pos],
+            ), np.empty(0, dtype=np.int64)
+        return None, np.flatnonzero(~hit)
+
+    def gather(self, nodes) -> tuple:
+        """Column gather for ``nodes`` (every node must be present)."""
+        import numpy as np
+
+        pos = np.searchsorted(self.fids, nodes)
         return (
             self.sizes[pos], self.res[pos], self.extpri[pos],
             self.path_r[pos], self.name_r[pos], self.suffix_r[pos],
         )
 
-    def store(self, nodes, metas, sizes, res, extpri, pathlow, namelow, suffix) -> None:
+    _STRING_COLS = (
+        ("pathlow", "path_u", "path_r"),
+        ("namelow", "name_u", "name_r"),
+        ("suffix", "suffix_u", "suffix_r"),
+    )
+
+    def _rerank(self, col: str) -> None:
+        """Rebuild one string column's unique axis + all row ranks."""
+        import numpy as np
+
+        uniq_name, rank_name = next(
+            (u, r) for c, u, r in self._STRING_COLS if c == col
+        )
+        uniq, ranks = np.unique(getattr(self, col), return_inverse=True)
+        setattr(self, uniq_name, uniq)
+        setattr(self, rank_name, ranks.astype(np.int64))
+
+    def store_delta(self, nodes, metas, sizes, res, extpri, pathlow, namelow, suffix) -> None:
+        """Merge recomputed rows into the cache (replace or insert by fid)."""
         import numpy as np
 
         metas_arr = np.empty(len(metas), dtype=object)
         metas_arr[:] = metas
-        cols_new = (metas_arr, sizes.astype(np.int64), res.astype(np.int64),
+        new_ids = self._ids_of(metas)
+        cols_new = (metas_arr, new_ids, sizes.astype(np.int64), res.astype(np.int64),
                     extpri.astype(np.int64), np.asarray(pathlow),
                     np.asarray(namelow), np.asarray(suffix))
+        col_names = ("metas", "meta_ids", "sizes", "res", "extpri",
+                     "pathlow", "namelow", "suffix")
         if len(self.fids):
-            keep = ~np.isin(self.fids, nodes)
-            fids = np.concatenate([self.fids[keep], nodes])
-            cols = tuple(
-                np.concatenate([old[keep], new])
-                for old, new in zip(
-                    (self.metas, self.sizes, self.res, self.extpri,
-                     self.pathlow, self.namelow, self.suffix),
-                    cols_new,
-                )
-            )
-            order = np.argsort(fids, kind="stable")
-            self.fids = fids[order]
-            (self.metas, self.sizes, self.res, self.extpri,
-             self.pathlow, self.namelow, self.suffix) = (c[order] for c in cols)
+            pos = np.searchsorted(self.fids, nodes)
+            inb = pos < len(self.fids)
+            pos_c = np.where(inb, pos, 0)
+            present = inb & (self.fids[pos_c] == nodes)
+            if present.any():
+                # in-place row replacement keeps the axis (and ranks) intact
+                rows = pos[present]
+                for name, new in zip(col_names, cols_new):
+                    arr = getattr(self, name)
+                    if name in ("pathlow", "namelow", "suffix"):
+                        vals = new[present]
+                        # numpy fixed-width strings: widen in-place target if needed
+                        if vals.dtype.itemsize > arr.dtype.itemsize:
+                            arr = arr.astype(vals.dtype)
+                            setattr(self, name, arr)
+                        arr[rows] = vals
+                    else:
+                        arr[rows] = new[present]
+            if (~present).any():
+                ins = ~present
+                fids = np.concatenate([self.fids, nodes[ins]])
+                order = np.argsort(fids, kind="stable")
+                self.fids = fids[order]
+                for name, new in zip(col_names, cols_new):
+                    old = getattr(self, name)
+                    merged = np.concatenate([old, new[ins]])
+                    setattr(self, name, merged[order])
+                # carry rank columns through the reorder with placeholders;
+                # the rank-maintenance pass below fills the inserted rows
+                n_ins = int(ins.sum())
+                for _, _, rank_name in self._STRING_COLS:
+                    ranks = getattr(self, rank_name)
+                    merged = np.concatenate(
+                        [ranks, np.full(n_ins, -1, dtype=np.int64)]
+                    )
+                    setattr(self, rank_name, merged[order])
         else:
-            # keep the axis sorted even on first store: nodes from the
-            # public entries carry no sortedness promise, and every lookup
-            # searchsorts against this axis
             order = np.argsort(nodes, kind="stable")
             self.fids = nodes[order]
-            (self.metas, self.sizes, self.res, self.extpri,
-             self.pathlow, self.namelow, self.suffix) = (c[order] for c in cols_new)
-        self.path_r = np.unique(self.pathlow, return_inverse=True)[1]
-        self.name_r = np.unique(self.namelow, return_inverse=True)[1]
-        self.suffix_r = np.unique(self.suffix, return_inverse=True)[1]
+            for name, new in zip(col_names, cols_new):
+                setattr(self, name, new[order])
+            self.path_r = np.empty(len(nodes), dtype=np.int64)
+            self.name_r = np.empty(len(nodes), dtype=np.int64)
+            self.suffix_r = np.empty(len(nodes), dtype=np.int64)
+            self._rerank("pathlow"); self._rerank("namelow"); self._rerank("suffix")
+            return
 
-    def ranks_for(self, nodes) -> tuple:
-        """String-rank columns for ``nodes`` (must have just been stored).
-
-        Restricting an order-isomorphic rank vector to a subset keeps it
-        order-isomorphic, so callers that only lexsort can reuse the ranks
-        ``store`` already computed instead of re-running three np.unique
-        passes over their local string arrays.
-        """
-        import numpy as np
-
-        pos = np.searchsorted(self.fids, nodes)
-        return self.path_r[pos], self.name_r[pos], self.suffix_r[pos]
+        # rank maintenance: rows whose strings already exist rank with one
+        # searchsorted; genuinely new strings force a column re-rank
+        rows = np.searchsorted(self.fids, nodes)
+        for col, uniq_name, rank_name in self._STRING_COLS:
+            uniq = getattr(self, uniq_name)
+            vals = getattr(self, col)[rows]
+            if len(uniq):
+                p = np.searchsorted(uniq, vals)
+                known = uniq[np.minimum(p, len(uniq) - 1)] == vals
+            else:
+                known = np.zeros(len(vals), dtype=bool)
+                p = np.zeros(len(vals), dtype=np.int64)
+            if known.all():
+                getattr(self, rank_name)[rows] = p
+            else:
+                self._rerank(col)
 
 
 def _components_and_best_h(ia, ib, eh, k: int, m: int):
@@ -358,19 +440,27 @@ def _assemble_tail(
     from kobato_eyes_tpu.utils.metrics import metrics
 
     _t_cols = metrics.timer("dup.assemble.columns"); _t_cols.__enter__()
-    cols = column_cache.lookup(nodes, metas) if column_cache is not None else None
+    cols = None
+    miss_idx = None
+    if column_cache is not None:
+        cols, miss_idx = column_cache.lookup_partial(nodes, metas)
     if cols is not None:
         sizes, res, extpri, path_r, name_r, suffix_r = cols
     else:
-        sizes = np.fromiter(((mt.size or 0) for mt in metas), dtype=np.int64, count=k)
-        res = np.fromiter((mt.resolution for mt in metas), dtype=np.int64, count=k)
+        # rows to (re)compute: everything without a cache, only the identity
+        # misses with one (the delta-scan case: a handful of changed files)
+        sub = list(range(k)) if miss_idx is None else miss_idx.tolist()
+        metas_sub = metas if miss_idx is None else [metas[i] for i in sub]
+        ks = len(metas_sub)
+        sizes = np.fromiter(((mt.size or 0) for mt in metas_sub), dtype=np.int64, count=ks)
+        res = np.fromiter((mt.resolution for mt in metas_sub), dtype=np.int64, count=ks)
         # string keys in one Python pass (measurably faster than np.char at
         # 70k; Path property calls per key were the original hotspot)
         pathlow_l: list[str] = []
         namelow_l: list[str] = []
         suffix_l: list[str] = []
-        extpri_np = np.zeros(k, dtype=np.int64)
-        for i, mt in enumerate(metas):
+        extpri_np = np.zeros(ks, dtype=np.int64)
+        for i, mt in enumerate(metas_sub):
             fid = mt.file_id
             cached = key_cache.get(fid) if key_cache is not None else None
             # identity hit first: service re-scans pass the same meta objects,
@@ -399,8 +489,11 @@ def _assemble_tail(
         extpri = extpri_np
         # rank the strings once; every lexsort below is then integer-only
         if column_cache is not None:
-            column_cache.store(nodes, metas, sizes, res, extpri, pathlow, namelow, suffix)
-            path_r, name_r, suffix_r = column_cache.ranks_for(nodes)
+            column_cache.store_delta(
+                nodes if miss_idx is None else nodes[miss_idx],
+                metas_sub, sizes, res, extpri, pathlow, namelow, suffix,
+            )
+            sizes, res, extpri, path_r, name_r, suffix_r = column_cache.gather(nodes)
         else:
             path_r = np.unique(pathlow, return_inverse=True)[1]
             name_r = np.unique(namelow, return_inverse=True)[1]

@@ -134,6 +134,124 @@ def bucket_ok_np(keys: np.ndarray, pair_cap: int | None) -> np.ndarray:
     return ok
 
 
+def _stable_band_argsort(kb: np.ndarray) -> np.ndarray:
+    """Stable argsort of one band's keys, picking the fastest exact kernel.
+
+    uint16 keys hit numpy's radix sort (~10x quicksort at 70k); wider bands
+    pack (key << 32 | index) into uint64 so the default quicksort IS the
+    stable order.  Both are exact — order only matters up to run grouping
+    (equal keys must be contiguous), but stability keeps the order
+    deterministic across paths.
+    """
+    if kb.size and int(kb.max()) < (1 << 16):
+        return np.argsort(kb.astype(np.uint16), kind="stable").astype(np.int64)
+    packed = (kb.astype(np.uint64) << np.uint64(32)) | np.arange(
+        kb.shape[0], dtype=np.uint64
+    )
+    return np.argsort(packed).astype(np.int64)
+
+
+def _host_band_pairs(
+    kb: np.ndarray, ok_b: np.ndarray | None, *, d_limit: int = 256
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """All intra-bucket pairs of one band, vectorized on host.
+
+    Runs of equal keys in the band-sorted order are the LSH buckets; the
+    d-loop emits every within-run pair at sorted distance d (runs of length
+    <= d_limit+1), and pathologically large runs fall back to an exact
+    per-run all-pairs block — the same split the device path makes between
+    the windowed bitmask kernel and its oversized-bucket fallback.
+    """
+    n = kb.shape[0]
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    if n < 2:
+        return out_i, out_j
+    order = _stable_band_argsort(kb)
+    sk = kb[order]
+    bounds = np.flatnonzero(sk[1:] != sk[:-1])
+    starts = np.concatenate(([0], bounds + 1))
+    ends = np.concatenate((bounds + 1, [n]))
+    lens = ends - starts
+    max_run = int(lens.max())
+    okk = ok_b[order] if ok_b is not None else None
+    D = min(max_run - 1, d_limit)
+    if D > 0:
+        if max_run - 1 > d_limit:
+            small = np.repeat(lens <= d_limit + 1, lens)
+            base = small if okk is None else (small & okk)
+        else:
+            base = okk  # no oversized runs: skip the run-length expansion
+        for d in range(1, D + 1):
+            m = sk[:-d] == sk[d:]
+            if base is not None:
+                m &= base[:-d]
+            if okk is not None:
+                m &= okk[d:]
+            p = np.flatnonzero(m)
+            if p.size:
+                out_i.append(order[p])
+                out_j.append(order[p + d])
+    for r in np.flatnonzero(lens - 1 > d_limit):
+        members = order[starts[r] : ends[r]]
+        if ok_b is not None:
+            members = members[ok_b[members]]
+        m = members.shape[0]
+        if m < 2:
+            continue
+        iu = np.triu_indices(m, k=1)
+        out_i.append(members[iu[0]])
+        out_j.append(members[iu[1]])
+    return out_i, out_j
+
+
+def host_window_scan(
+    ph_u64: np.ndarray,
+    *,
+    band_bits: int,
+    band_count: int,
+    hamming_threshold: int,
+    sizes: np.ndarray | None = None,
+    size_ratio: float | None = None,
+    bucket_pair_cap: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized host candidate scan — same edge set as the device path.
+
+    At small populations the tunneled chip's transfer costs (~30 ms/MB each
+    way, measured) exceed the entire vectorized host scan, so the scanner
+    routes n <= host_scan_max here.  Semantics are identical: band keys,
+    intra-bucket pairs, pair cap, Hamming threshold, exact f64 size-ratio.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    n = ph_u64.shape[0]
+    if n < 2:
+        return empty
+    keys = band_keys_np(ph_u64, band_bits, band_count)
+    ok = bucket_ok_np(keys, bucket_pair_cap) if bucket_pair_cap is not None else None
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for b in range(band_count):
+        pi, pj = _host_band_pairs(keys[:, b], ok[:, b] if ok is not None else None)
+        out_i.extend(pi)
+        out_j.extend(pj)
+    if not out_i:
+        return empty
+    gi = np.concatenate(out_i)
+    gj = np.concatenate(out_j)
+    lo = np.minimum(gi, gj)
+    hi = np.maximum(gi, gj)
+    # dedup WITHOUT return_index (which forces a slow stable sort): (lo, hi)
+    # is recoverable from the packed key, and duplicates are exact duplicates
+    key_u = np.unique(lo * np.int64(n) + hi)
+    ei = key_u // np.int64(n)
+    ej = key_u - ei * np.int64(n)
+    dist = popcount64_np(ph_u64[ei] ^ ph_u64[ej]).astype(np.int64)
+    keep = dist <= hamming_threshold
+    if size_ratio is not None and size_ratio > 0 and sizes is not None:
+        keep &= _exact_size_ratio_keep(ei, ej, sizes.astype(np.float64), float(size_ratio))
+    return ei[keep].astype(np.int64), ej[keep].astype(np.int64), dist[keep]
+
+
 # The device kernels compare sizes in f32 (sizes > 2^24 bytes quantize), while
 # the reference and edge_scan_np compare in f64.  Device filters therefore run
 # with the threshold relaxed by this margin (so f32 rounding can never DROP a
@@ -593,6 +711,7 @@ class BandedHammingScanner:
         max_window: int = 256,
         max_edges_hint: int = 1 << 16,
         mesh=None,  # jax.sharding.Mesh: shard the compare over its data axis
+        host_scan_max: int | None = None,
     ) -> None:
         if band_bits * band_count > 64 or band_bits > 32:
             raise ValueError("band config too large")
@@ -600,6 +719,17 @@ class BandedHammingScanner:
         self.band_count = band_count
         self.max_window = max_window
         self.max_edges_hint = max_edges_hint
+        # Measured host/device crossover (docs/benchmarks.md r4): below this
+        # population the vectorized host scan beats the device path's
+        # transfer+sort cost; above it the bitmask kernel's O(n*window)
+        # compare wins.  Env override for different link/host speeds.
+        import os as _os
+
+        self.host_scan_max = (
+            host_scan_max
+            if host_scan_max is not None
+            else int(_os.environ.get("KET_DUP_HOST_SCAN_MAX", "262144"))
+        )
         self._mesh = mesh
         self._digest: bytes | None = None
         self._ph_dev: jnp.ndarray | None = None
@@ -731,6 +861,21 @@ class BandedHammingScanner:
         sizes_f = (sizes if sizes is not None else np.zeros(n)).astype(np.float64)
         use_size = size_ratio is not None and size_ratio > 0 and sizes is not None
         use_ok = bucket_pair_cap is not None
+
+        if (
+            n <= self.host_scan_max
+            and (self._mesh is None or int(self._mesh.shape.get("data", 1)) <= 1)
+        ):
+            with metrics.timer("dup.scan.host"):
+                return host_window_scan(
+                    ph_u64,
+                    band_bits=self.band_bits,
+                    band_count=self.band_count,
+                    hamming_threshold=hamming_threshold,
+                    sizes=sizes_f if use_size else None,
+                    size_ratio=size_ratio,
+                    bucket_pair_cap=bucket_pair_cap,
+                )
 
         if self._mesh is not None and int(self._mesh.shape.get("data", 1)) > 1:
             sharded = self._scan_sharded(

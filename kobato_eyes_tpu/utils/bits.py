@@ -53,6 +53,8 @@ def u32pairs_to_signed_ints(pairs: np.ndarray) -> list[int]:
 def popcount64_np(values: np.ndarray) -> np.ndarray:
     """Vectorized popcount over uint64 (host reference path)."""
     v = np.asarray(values, dtype=np.uint64)
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0: single C ufunc pass
+        return np.bitwise_count(v).astype(np.uint32)
     count = np.zeros(v.shape, dtype=np.uint32)
     for shift in range(0, 64, 8):
         count += _POP8[(v >> np.uint64(shift)).astype(np.uint64) & np.uint64(0xFF)]

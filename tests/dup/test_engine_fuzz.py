@@ -134,3 +134,50 @@ def test_fuzz_sweep_matches_individual_scans(files, seed):
             DuplicateScanConfig(hamming_threshold=t)
         ).build_clusters(files)
         assert_clusters_equal(sweep[t], single)
+
+
+def test_delta_rescan_matches_fresh_engine(rng):
+    """Warm engine + changed snapshot (the identity-delta path): clusters
+    must equal a fresh engine's scan of the same snapshot — prep patching,
+    column-cache partial hits, and rank maintenance all exact."""
+    import dataclasses
+    from pathlib import Path
+
+    from kobato_eyes_tpu.dup.engine import TpuDuplicateScanner, cluster_ids
+    from kobato_eyes_tpu.dup.types import DuplicateFileMeta, DuplicateScanConfig
+
+    n = 300
+    hashes = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    hashes[: n // 3] = hashes[0] ^ np.uint64(1)  # planted cluster
+    files = [
+        DuplicateFileMeta(
+            file_id=i, path=Path(f"/lib/img_{i:04d}.png"), size=int(1000 + i),
+            width=None, height=None, phash=int(hashes[i]),
+        )
+        for i in range(n)
+    ]
+    cfg = DuplicateScanConfig(hamming_threshold=8)
+    warm = TpuDuplicateScanner(cfg)
+    warm.build_clusters(files, files_token=("t", 0))
+
+    # delta 1: flip one hash (same path -> no re-rank)
+    files_b = list(files)
+    files_b[5] = dataclasses.replace(files_b[5], phash=int(hashes[0]))
+    got = warm.build_clusters(files_b, files_token=("t", 1))
+    want = TpuDuplicateScanner(cfg).build_clusters(files_b)
+    assert cluster_ids(got) == cluster_ids(want)
+
+    # delta 2: replace a file entirely (new id, new path -> rank re-merge)
+    files_c = list(files_b)
+    files_c[7] = DuplicateFileMeta(
+        file_id=n + 99, path=Path("/lib/aaa_new.jpg"), size=7,
+        width=10, height=10, phash=int(hashes[0]),
+    )
+    got = warm.build_clusters(files_c, files_token=("t", 2))
+    want = TpuDuplicateScanner(cfg).build_clusters(files_c)
+    assert cluster_ids(got) == cluster_ids(want)
+
+    # delta 3: back to the original snapshot (cache rows must self-heal)
+    got = warm.build_clusters(files, files_token=("t", 3))
+    want = TpuDuplicateScanner(cfg).build_clusters(files)
+    assert cluster_ids(got) == cluster_ids(want)
