@@ -97,8 +97,73 @@ def _ivf_search_kernel(
     return top_s, rows
 
 
+@partial(jax.jit, static_argnames=("mesh", "n", "nprobe", "k"))
+def _sharded_ivf_search(
+    mesh, corpus_sharded, assign_sharded, centroids, n: int,
+    q: jnp.ndarray, *, nprobe: int, k: int,
+):
+    """Row-sharded IVF search: per-shard masked matmul + top-k, gathered merge.
+
+    The coarse probe (queries x centroids) is tiny and recomputed on every
+    device from replicated operands — cheaper than a broadcast.  Eligibility
+    and the corpus matmul are local to each row shard; only (D, Q, k_local)
+    candidates cross the ICI (SURVEY §2.3 top-K ANN all-gather merge).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from kobato_eyes_tpu.index.flat import merged_topk
+    from kobato_eyes_tpu.parallel.mesh import DATA_AXIS
+
+    d = int(mesh.shape[DATA_AXIS])
+    rps = corpus_sharded.shape[0] // d
+    k_local = min(k, rps)
+    n_lists = centroids.shape[0]
+
+    def body(corpus_local, assign_local, cents, queries):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        cs = jnp.dot(queries, cents.T, preferred_element_type=jnp.float32)
+        _, probe = jax.lax.top_k(cs, nprobe)
+        nq = queries.shape[0]
+        allowed = jnp.zeros((nq, n_lists), dtype=bool)
+        allowed = allowed.at[jnp.arange(nq)[:, None], probe].set(True)
+        sims = jnp.dot(
+            queries, corpus_local.T, preferred_element_type=jnp.float32
+        )  # (Q, rps)
+        col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + shard * rps
+        sims = jnp.where(allowed[:, assign_local] & (col < n), sims, -jnp.inf)
+        s, idx = jax.lax.top_k(sims, k_local)
+        rows = jnp.where(
+            jnp.isfinite(s), idx.astype(jnp.int32) + shard * rps, -1
+        )
+        return (
+            jax.lax.all_gather(s, DATA_AXIS),
+            jax.lax.all_gather(rows, DATA_AXIS),
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    s_g, r_g = mapped(corpus_sharded, assign_sharded, centroids, q)
+    nq = q.shape[0]
+    s_flat = jnp.transpose(s_g, (1, 0, 2)).reshape(nq, d * k_local)
+    r_flat = jnp.transpose(r_g, (1, 0, 2)).reshape(nq, d * k_local)
+    top_s, rows = merged_topk(s_flat, r_flat, k)
+    return top_s, jnp.where(jnp.isfinite(top_s), rows, -1)
+
+
 class IvfFlatIndex:
-    """Inverted-file flat index over unit vectors (cosine / inner product)."""
+    """Inverted-file flat index over unit vectors (cosine / inner product).
+
+    With ``mesh``, the corpus (and its list assignment) row-shards over the
+    mesh's ``data`` axis; k-means training runs the SAME jitted Lloyd step on
+    the sharded corpus — XLA's GSPMD partitions the assignment matmul and
+    inserts the psums for the segment-sum centroid update (the scaling-book
+    recipe: annotate shardings, let the compiler place collectives).
+    """
 
     def __init__(
         self,
@@ -109,6 +174,8 @@ class IvfFlatIndex:
         train_iters: int = 10,
         seed: int = 0,
         max_list_pad: int | None = None,
+        mesh=None,  # jax.sharding.Mesh: row-shard corpus + training over `data`
+        quantizer: tuple[np.ndarray, np.ndarray] | None = None,  # (centroids, assign)
     ) -> None:
         vecs = np.asarray(vectors, dtype=np.float32)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -120,10 +187,40 @@ class IvfFlatIndex:
         n_clusters = min(n_clusters, n)
         self.n_clusters = n_clusters
 
-        corpus_dev = jnp.asarray(vecs)  # single upload, reused by the search
-        centroids, assign = kmeans(
-            vecs, n_clusters, iters=train_iters, seed=seed, data_dev=corpus_dev
-        )
+        self._mesh = None
+        if mesh is not None and int(mesh.shape.get("data", 1)) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            d = int(mesh.shape["data"])
+            n_shard_pad = -(-n // d) * d
+            vecs_pad = (
+                np.pad(vecs, ((0, n_shard_pad - n), (0, 0)))
+                if n_shard_pad != n else vecs
+            )
+            self._mesh = mesh
+            corpus_dev = jax.device_put(
+                vecs_pad, NamedSharding(mesh, P("data", None))
+            )
+            # Lloyd on the sharded corpus: padded zero rows all assign to one
+            # cluster and would drag its centroid toward zero, so train on a
+            # device view of the REAL rows only when padding was added (the
+            # slice keeps the sharding; XLA re-balances the ragged tail).
+            train_dev = corpus_dev[:n] if n_shard_pad != n else corpus_dev
+        else:
+            corpus_dev = jnp.asarray(vecs)  # single upload, reused by the search
+            train_dev = corpus_dev
+        if quantizer is not None:
+            # precomputed (centroids, assignments): index restore, or exact
+            # single-chip-identical mesh builds (sharded Lloyd reductions can
+            # differ in the last bit, which is a different quantizer, not a
+            # bug — tests use this seam to assert search identity strictly)
+            centroids, assign = quantizer
+            centroids = np.asarray(centroids, dtype=np.float32)
+            assign = np.asarray(assign)
+        else:
+            centroids, assign = kmeans(
+                vecs, n_clusters, iters=train_iters, seed=seed, data_dev=train_dev
+            )
         counts = np.bincount(assign, minlength=n_clusters)
         pad = int(counts.max()) if max_list_pad is None else min(int(counts.max()), max_list_pad)
         pad = max(pad, 1)
@@ -164,16 +261,29 @@ class IvfFlatIndex:
             assign_list[valid_rows] = li_
 
         self.n_lists = n_lists
-        self._centroids = jnp.asarray(centroids[list_cluster])
+        self._n = n
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_shard_pad = int(corpus_dev.shape[0])
+            al = np.zeros(n_shard_pad, dtype=np.int32)  # pad rows masked by col<n
+            al[:n] = assign_list
+            self._centroids = jax.device_put(
+                centroids[list_cluster].astype(np.float32),
+                NamedSharding(mesh, P()),
+            )
+            self._assign_list = jax.device_put(al, NamedSharding(mesh, P("data")))
+        else:
+            self._centroids = jnp.asarray(centroids[list_cluster])
+            self._assign_list = jnp.asarray(assign_list)
         # host-only: the search kernel reads assign_list, not the member
         # table (kept for introspection/tests — no reason to burn HBM on it)
         self._members = members
-        self._assign_list = jnp.asarray(assign_list)
         self._corpus = corpus_dev
         self.dim = vecs.shape[1]
 
     def __len__(self) -> int:
-        return int(self._corpus.shape[0])
+        return self._n
 
     def search(
         self, queries: np.ndarray, k: int = 10, *, nprobe: int = 8
@@ -182,10 +292,16 @@ class IvfFlatIndex:
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
         nprobe = min(nprobe, self.n_lists)
         k = min(k, len(self))
-        scores, rows = _ivf_search_kernel(
-            jnp.asarray(q), self._centroids, self._assign_list, self._corpus,
-            nprobe=nprobe, k=k,
-        )
+        if self._mesh is not None:
+            scores, rows = _sharded_ivf_search(
+                self._mesh, self._corpus, self._assign_list, self._centroids,
+                self._n, jnp.asarray(q), nprobe=nprobe, k=k,
+            )
+        else:
+            scores, rows = _ivf_search_kernel(
+                jnp.asarray(q), self._centroids, self._assign_list, self._corpus,
+                nprobe=nprobe, k=k,
+            )
         rows = np.asarray(rows)
         scores = np.asarray(scores)
         ids = np.where(rows >= 0, self.ids[np.maximum(rows, 0)], -1)

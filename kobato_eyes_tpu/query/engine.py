@@ -938,6 +938,7 @@ def search_epoch(
     order_by: str = "relevance",
     limit: int = 200,
     offset: int = 0,
+    mesh=None,  # jax.sharding.Mesh: shard mask evaluation over its data axis
 ) -> list[DeviceSearchResult]:
     """Execute a query against the epoch; ordering parity with search_files."""
     if order_by not in _ORDERINGS:
@@ -947,24 +948,34 @@ def search_epoch(
     positive = (
         extract_positive_tag_terms(query) if order_by == "relevance" else []
     )
-    # mask evaluation: one shape-generic program per query STRUCTURE (incl.
-    # per-slot posting-length buckets), shared across epochs; operand tables
-    # cached per (epoch, query)
-    (structure, buckets, starts_dev, skips_dev, lens_dev, gates_dev,
-     score_dev, catgate_dev) = _query_tables(epoch, query, expr, thr)
-    fn = _structure_fn(structure, buckets)
-    mask = _unpack_mask(
-        np.asarray(
-            fn(
-                epoch.rows_dev, epoch.scores_dev,
-                epoch.cat_max_dev, epoch.cat_present_dev,
-                epoch.smax_dev, epoch.smin_dev,
-                starts_dev, skips_dev, lens_dev, gates_dev,
-                score_dev, catgate_dev,
-            )
-        ),
-        epoch.num_files,
-    )
+    if mesh is not None and int(mesh.shape.get("data", 1)) > 1:
+        # multi-chip: file-row-sharded mask evaluation (query/sharded);
+        # relevance + ordering below are shared host code, so identity with the
+        # single-chip path is structural, not re-proved per feature
+        from kobato_eyes_tpu.query.sharded import sharded_mask_words
+
+        mask = _unpack_mask(
+            sharded_mask_words(epoch, mesh, query, expr, thr), epoch.num_files
+        )
+    else:
+        # mask evaluation: one shape-generic program per query STRUCTURE (incl.
+        # per-slot posting-length buckets), shared across epochs; operand tables
+        # cached per (epoch, query)
+        (structure, buckets, starts_dev, skips_dev, lens_dev, gates_dev,
+         score_dev, catgate_dev) = _query_tables(epoch, query, expr, thr)
+        fn = _structure_fn(structure, buckets)
+        mask = _unpack_mask(
+            np.asarray(
+                fn(
+                    epoch.rows_dev, epoch.scores_dev,
+                    epoch.cat_max_dev, epoch.cat_present_dev,
+                    epoch.smax_dev, epoch.smin_dev,
+                    starts_dev, skips_dev, lens_dev, gates_dev,
+                    score_dev, catgate_dev,
+                )
+            ),
+            epoch.num_files,
+        )
     # relevance in host f64 — ordering must match SQLite's f64 SUM exactly.
     # One C-level bincount over the positives' postings (np.add.at per term
     # was the p50 floor at 300k files).
