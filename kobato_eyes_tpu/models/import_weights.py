@@ -542,11 +542,12 @@ def import_torch_checkpoint(
     manifest first, so naming/shape drift fails with every offending key
     named instead of a deep KeyError mid-conversion.
     """
+    is_onnx = str(path).endswith(".onnx")
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file  # type: ignore[import-not-found]
 
         state = load_file(path)
-    elif str(path).endswith(".onnx"):
+    elif is_onnx:
         # the reference's release format (wd14_onnx.py:139-202); initializer
         # names from torch.onnx.export equal the state-dict keys, so the
         # manifests below validate ONNX files identically
@@ -559,12 +560,38 @@ def import_torch_checkpoint(
         state = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
+
+    def check(manifest: Mapping[str, Sequence[int]], st: Mapping[str, Any]):
+        """Strict validation; for ONNX, retry once after recovering
+        constant-folded initializer names (onnx::MatMul_* etc.) by
+        shape/graph-order — then validate the REMAPPED state strictly, so
+        an unrecoverable export still fails with every key named."""
+        try:
+            validate_state_against_manifest(st, manifest, name=str(path))
+            return st
+        except StateDictMismatch:
+            if not is_onnx:
+                raise
+            from kobato_eyes_tpu.models.onnx_import import (
+                remap_folded_initializers,
+            )
+
+            st2, mapping = remap_folded_initializers(st, manifest)
+            if not mapping:
+                raise
+            validate_state_against_manifest(st2, manifest, name=str(path))
+            return st2
+
     if isinstance(cfg, SwinConfig):
         if strict:
-            style = "fc" if "head.fc.weight" in state else "flat"
-            validate_state_against_manifest(
-                state, swin_state_manifest(cfg, head_style=style), name=str(path)
+            # the bias sibling also votes: a folded export renames the
+            # weight (onnx::MatMul_*) but biases keep their names
+            style = (
+                "fc"
+                if "head.fc.weight" in state or "head.fc.bias" in state
+                else "flat"
             )
+            state = check(swin_state_manifest(cfg, head_style=style), state)
         return swin_params_from_torch_state(state, cfg)
     # ViT: dispatch on the naming family — CLIP visual tower (conv1 /
     # transformer.resblocks) vs timm VisionTransformer (patch_embed / blocks)
@@ -579,14 +606,13 @@ def import_torch_checkpoint(
             visual = {
                 k: v for k, v in state.items() if not prefix or k.startswith(prefix)
             }
-            validate_state_against_manifest(
-                visual,
+            visual = check(
                 clip_vit_state_manifest(cfg, embed_out=embed_out, prefix=prefix),
-                name=str(path),
+                visual,
             )
+            state = {**state, **visual}
         return clip_vit_params_from_torch_state(state, cfg)
     if strict:
-        validate_state_against_manifest(
-            state, vit_state_manifest(cfg, head="head.weight" in state), name=str(path)
-        )
+        has_head = "head.weight" in state or "head.bias" in state
+        state = check(vit_state_manifest(cfg, head=has_head), state)
     return vit_params_from_torch_state(state, cfg)

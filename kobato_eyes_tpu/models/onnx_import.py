@@ -16,9 +16,12 @@ external_data=13, data_location=14}).
 ONNX files — names parameter initializers with their state-dict keys, so
 the extracted mapping feeds the existing importers and their recorded
 manifests unchanged (``import_weights.import_torch_checkpoint`` dispatches
-here for ``.onnx`` paths).  Exports with folded/renamed constants fail the
-strict manifest validation with every offending key named, exactly like a
-drifted torch checkpoint.
+here for ``.onnx`` paths).  Real-world exports with constant folding
+rename some weight initializers (``onnx::MatMul_<n>`` — a folded Linear,
+stored TRANSPOSED) — :func:`remap_folded_initializers` recovers those by
+shape signature (exact or transposed) with graph-order pairing inside
+same-shape groups; anything it cannot place unambiguously still fails the
+strict manifest validation with every offending key named.
 """
 
 from __future__ import annotations
@@ -235,6 +238,104 @@ def read_onnx_initializers(path: str | Path) -> dict[str, np.ndarray]:
         path, len(out), sum(a.size for a in out.values()) / 1e6,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Folded-initializer recovery
+# ---------------------------------------------------------------------------
+
+
+_FOLDED_PREFIXES = ("onnx::", "Constant_", "_v_", "ortshared_")
+
+
+def _natural_key(name: str) -> tuple:
+    """Sort key that orders blocks.2 before blocks.10 (layer order)."""
+    import re
+
+    return tuple(
+        int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)
+    )
+
+
+def _graph_order_key(name: str) -> tuple:
+    """Exporter-assigned folded names carry a topological counter suffix."""
+    import re
+
+    m = re.search(r"(\d+)$", name)
+    return (int(m.group(1)) if m else 0, name)
+
+
+def remap_folded_initializers(
+    state: Mapping[str, np.ndarray],
+    manifest: Mapping[str, tuple],
+) -> tuple[dict[str, np.ndarray], dict[str, str]]:
+    """Recover manifest keys from constant-folded initializer names.
+
+    ``torch.onnx.export`` with default constant folding replaces a Linear
+    weight consumed by MatMul with an anonymous ``onnx::MatMul_<n>``
+    initializer holding the TRANSPOSED matrix (biases keep their names).
+    Recovery is two-tier, and deliberately refuses to guess:
+
+    - **unique shape**: a missing manifest key whose expected shape (or its
+      2-D transpose) matches exactly one folded candidate, and no other
+      missing key wants that shape.
+    - **order-matched group**: when k missing keys and k folded candidates
+      share one shape signature, pair them layer-order (natural sort of the
+      manifest names) against graph order (the folded names' numeric
+      suffix) — torch exports parameters in module order, so the orders
+      coincide. Groups of unequal size are left unmapped.
+
+    Returns ``(new_state, mapping)`` where mapping is
+    ``{manifest_key: folded_name}``; transposed matches are transposed
+    back.  Unmappable keys simply stay missing — the caller's strict
+    manifest validation then names them.
+    """
+    missing = [k for k in manifest if k not in state]
+    folded = {
+        k: v for k, v in state.items()
+        if k not in manifest
+        and (k.startswith(_FOLDED_PREFIXES) or k.startswith("__anonymous_"))
+    }
+    if not missing or not folded:
+        return dict(state), {}
+
+    def sig(shape: tuple) -> tuple:
+        return tuple(int(d) for d in shape)
+
+    want_by_sig: dict[tuple, list[str]] = {}
+    for k in missing:
+        want_by_sig.setdefault(sig(tuple(manifest[k])), []).append(k)
+    # candidates keyed by their EFFECTIVE (state-dict-layout) shape:
+    # onnx::MatMul_* 2-D initializers are always the exporter's W^T, so they
+    # register transposed — this is what keeps e.g. fc1 (out,in) from pairing
+    # with fc2^T, whose on-disk shape happens to equal fc1's expected one
+    have_by_sig: dict[tuple, list[tuple[str, bool]]] = {}
+    for k, v in folded.items():
+        t = k.startswith("onnx::MatMul") and v.ndim == 2
+        have_by_sig.setdefault(
+            sig(v.T.shape if t else v.shape), []
+        ).append((k, t))
+
+    out = dict(state)
+    mapping: dict[str, str] = {}
+    for want_sig, keys in want_by_sig.items():
+        cands = have_by_sig.get(want_sig)
+        if cands is None or len(cands) != len(keys):
+            continue  # ambiguous or absent: leave for strict validation
+        keys_sorted = sorted(keys, key=_natural_key)
+        cands_sorted = sorted(cands, key=lambda c: _graph_order_key(c[0]))
+        for mk, (fk, transpose) in zip(keys_sorted, cands_sorted):
+            arr = folded[fk]
+            out[mk] = arr.T if transpose else arr
+            out.pop(fk, None)
+            mapping[mk] = fk
+    if mapping:
+        logger.warning(
+            "onnx: recovered %d constant-folded initializers by shape/order "
+            "(e.g. %s <- %s); verify tag parity before trusting the import",
+            len(mapping), *next(iter(mapping.items())),
+        )
+    return out, mapping
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,15 @@ class JaxTagger:
             self.arch = arch
         if fast_math is None:
             fast_math = jax.default_backend() == "tpu"
+            if fast_math:
+                # threshold-tuning runs must know WHICH forward they measured:
+                # the fast path deviates up to ~0.007 in per-label probability
+                # vs the exact einsum/gelu forward (docs/benchmarks.md), which
+                # can flip tags near thresholds across backends
+                logger.info(
+                    "fast_math auto-enabled on TPU (pallas attention + "
+                    "tanh-gelu); pass fast_math=False for the exact forward"
+                )
         if self.arch == "swinv2":
             from kobato_eyes_tpu.models.swin import swin_config
 

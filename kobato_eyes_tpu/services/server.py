@@ -179,8 +179,7 @@ class QueryServer:
         from kobato_eyes_tpu.dup.engine import TpuDuplicateScanner
         from kobato_eyes_tpu.dup.types import DuplicateFileMeta, DuplicateScanConfig
 
-        epoch = self._manager.current
-        if epoch is None:
+        if self._manager.current is None:
             raise RuntimeError("no epoch yet; POST /reload first")
         cfg = DuplicateScanConfig(
             hamming_threshold=int(hamming),
@@ -188,6 +187,10 @@ class QueryServer:
         )
         key = (cfg.hamming_threshold, cfg.size_ratio)
         with self._dup_lock:
+            # read the epoch UNDER the lock: a /reload between an early read
+            # and the lock would cache metas built from the NEW catalog under
+            # the OLD version token (one response could mix the two)
+            epoch = self._manager.current
             scanner = self._dup_scanners.pop(key, None)
             if scanner is None:
                 while len(self._dup_scanners) >= self._dup_scanners_cap:
@@ -497,12 +500,22 @@ class _Handler(BaseHTTPRequestHandler):
                 if thumb is None:
                     self._reply(404, {"error": "thumbnail unavailable"})
                 else:
+                    # read BEFORE the status line so IO errors still produce a
+                    # clean 500; once headers are out, a write failure must NOT
+                    # route through _reply (it would append a second status
+                    # line onto the partially-written 200) — log + drop instead
                     body = thumb.read_bytes()
                     self.send_response(200)
                     self.send_header("Content-Type", "image/webp")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
-                    self.wfile.write(body)
+                    try:
+                        self.wfile.write(body)
+                    except OSError:
+                        logger.warning(
+                            "thumb write aborted mid-response: %s", self.path
+                        )
+                        self.close_connection = True
             else:
                 self._reply(404, {"error": "unknown endpoint"})
         except NotFound as exc:

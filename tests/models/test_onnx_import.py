@@ -213,6 +213,62 @@ def test_import_torch_checkpoint_consumes_onnx(tmp_path):
     assert "blocks.0.attn.qkv.weight" in str(ei.value)
 
 
+def test_import_recovers_constant_folded_initializers(tmp_path):
+    """Real torch.onnx exports with constant folding rename Linear weights to
+    ``onnx::MatMul_<n>`` and store them TRANSPOSED (biases keep their names).
+    The importer recovers them by shape signature + graph-order pairing and
+    the recovered params stay forward-parity with the unfolded import."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from kobato_eyes_tpu.models.import_weights import (
+        StateDictMismatch,
+        import_torch_checkpoint,
+    )
+    from kobato_eyes_tpu.models.vit import ViT, vit_config
+    from tests.models.test_import_weights import TorchViT
+
+    torch.manual_seed(3)
+    tm = TorchViT()
+    tm.eval()
+    cfg = vit_config(
+        "tiny", image_size=32, patch_size=16, hidden_dim=64, depth=2,
+        num_heads=4, mlp_dim=128, num_classes=10, dtype=jnp.float32,
+    )
+    state_np = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    # fold every 2-D Linear weight the way the exporter does: transposed,
+    # renamed to onnx::MatMul_<counter> in module (graph) order; the counter
+    # is deliberately non-contiguous like real exports
+    folded = {}
+    counter = 37
+    for k, v in state_np.items():
+        if k.endswith("weight") and v.ndim == 2:
+            folded[f"onnx::MatMul_{counter}"] = np.ascontiguousarray(v.T)
+            counter += 13
+        else:
+            folded[k] = v
+    p = tmp_path / "vit_folded.onnx"
+    write_onnx_initializers(p, folded)
+    params = import_torch_checkpoint(str(p), cfg)  # strict + recovery
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1, size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(ViT(cfg).apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # an AMBIGUOUS fold (group sizes differ: one of two same-shape weights
+    # missing) must refuse to guess and still fail with the keys named
+    bad = dict(folded)
+    removed = next(k for k in bad if k.startswith("onnx::MatMul_"))
+    del bad[removed]
+    write_onnx_initializers(p, bad)
+    with pytest.raises(StateDictMismatch):
+        import_torch_checkpoint(str(p), cfg)
+
+
 def test_import_torch_checkpoint_consumes_swin_onnx(tmp_path):
     """The SwinV2 branch works through ONNX too, including the derived
     buffers (CPB tables, masks, k_bias) a torch export carries."""
