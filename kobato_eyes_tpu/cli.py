@@ -467,6 +467,26 @@ def cmd_import_weights(args) -> int:
     return 0
 
 
+def cmd_validate_checkpoint(args) -> int:
+    """Push-button real-weight validation: import -> strict manifest ->
+    exact-vs-fast-math forward parity -> tag parity at production
+    thresholds. Exit 0 iff everything holds (models/validate.py)."""
+    from kobato_eyes_tpu.models.validate import validate_checkpoint
+
+    report = validate_checkpoint(
+        args.checkpoint,
+        arch=args.arch,
+        preset=args.preset,
+        image_size=args.image_size,
+        classes=args.classes,
+        labels_path=args.labels,
+        n_images=args.images,
+        prob_tolerance=args.tolerance,
+    )
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def cmd_trash(args) -> int:
     """List or restore trashed files — the reversal surface for
     ``ket dup --trash-duplicates`` and ``POST /trash`` (the reference gets
@@ -838,6 +858,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="label count (taggers) or embed dim (clip)")
     p.add_argument("--clip-variant", choices=["openai", "open_clip"], default="openai")
     p.set_defaults(fn=cmd_import_weights)
+
+    p = sub.add_parser(
+        "validate-checkpoint",
+        help="import -> exact-vs-fast parity -> tag parity, one shot",
+    )
+    p.add_argument("checkpoint", help=".pth/.pt/.safetensors/.onnx or orbax dir")
+    p.add_argument("--arch", choices=["swinv2", "vit"], default="swinv2")
+    p.add_argument("--preset", default="base")
+    p.add_argument("--image-size", type=int, default=448)
+    p.add_argument("--classes", type=int, default=None,
+                   help="label count when --labels is not given")
+    p.add_argument("--labels", default=None, help="label CSV path")
+    p.add_argument("--images", type=int, default=8,
+                   help="synthetic validation images to run")
+    p.add_argument("--tolerance", type=float, default=0.02,
+                   help="max allowed exact-vs-fast probability deviation")
+    p.set_defaults(fn=cmd_validate_checkpoint)
 
     p = sub.add_parser("reset", help="reset the catalog (timestamped backups)")
     p.add_argument("--yes", action="store_true")

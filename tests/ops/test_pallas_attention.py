@@ -51,6 +51,36 @@ def test_bf16_path_and_dtype():
     )
 
 
+def test_extreme_logits_finite_and_correct():
+    """Production-bound logits (|scale·q·k| ~ 1e4, far past anything random
+    init makes): the in-kernel row-max softmax must neither overflow exp nor
+    zero a row, in f32 and in bf16 (where exp/sum reassociate)."""
+    b, t, h, d = 1, 64, 2, 32
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(t, d))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    # aligned/anti-aligned rows at magnitude 100 -> logits in [-1e4, 1e4]
+    sign = np.where(rng.random((t, 1)) < 0.5, 1.0, -1.0)
+    q = np.broadcast_to((100.0 * u)[None, :, None, :], (b, t, h, d)).astype(np.float32)
+    k = np.broadcast_to((100.0 * sign * u)[None, :, None, :], (b, t, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, t, h, d)).astype(np.float32)
+
+    want = _ref(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 1.0)
+    got = head_resident_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=1.0
+    )
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+    got16 = head_resident_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), scale=1.0,
+    )
+    g16 = np.asarray(got16, np.float32)
+    assert np.isfinite(g16).all(), "bf16 fast path NaN/inf at extreme logits"
+    np.testing.assert_allclose(g16, np.asarray(want), atol=5e-2)
+
+
 def test_softmax_rows_sum_consistency():
     """Attention output of constant v must be (near) constant: softmax rows
     normalize even at the unaligned T the kernel masks internally."""

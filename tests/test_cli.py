@@ -280,3 +280,23 @@ def test_ann_similar_to_uses_stored_embeddings(env, capsys):
 
     with pytest.raises(SystemExit, match="no embedding"):
         main([*base, "ann", "--similar-to", "999999"])
+
+
+def test_validate_checkpoint_push_button(tmp_path, capsys):
+    """ket validate-checkpoint: import -> exact-vs-fast parity -> tag parity
+    in one shot (the real-weight day-one command; VERDICT r3 #4)."""
+    from kobato_eyes_tpu.models.tagger import WD14Tagger, save_checkpoint
+
+    t = WD14Tagger(arch="vit", preset="tiny", image_size=64, fast_math=False)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, t.params)
+    rc = main([
+        "validate-checkpoint", str(ckpt), "--arch", "vit", "--preset", "tiny",
+        "--image-size", "64", "--classes", str(len(t.labels)), "--images", "2",
+    ])
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert report["ok"] is True
+    assert report["finite"] is True
+    assert report["import"] == "orbax"
+    assert report["max_prob_deviation"] <= report["prob_tolerance"]
