@@ -78,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--keep-db", action="store_true",
                         help="reuse the workdir catalog (skip the index phase "
                              "if already complete)")
+    parser.add_argument("--cached-retag", action="store_true",
+                        help="after indexing, force-retag twice with the "
+                             "prepared-input cache (cold fill + warm timed)")
     args = parser.parse_args(argv)
 
     work = Path(args.workdir)
@@ -134,6 +137,42 @@ def main(argv: list[str] | None = None) -> int:
                          "written": stats.written, "epoch": stats.epoch_version}
     assert stats.scanned == info["n"], (stats.scanned, info["n"])
     assert stats.tagged == stats.written
+    phases["index_imgs_per_s"] = round(info["n"] / phases["index_s"], 1)
+
+    # ---- cached re-index: is a RE-tag device-bound? -------------------
+    # The cold index wall above is dominated by 1-core host decode; the
+    # prepared-input cache (KET_TAGGER_INPUT_CACHE analog) skips
+    # decode+resize for unchanged files, so a model-change re-tag should
+    # approach the device forward rate. Two forced retag passes: the first
+    # fills the cache (decode + npz save), the second measures the warm
+    # cache-hit path (VERDICT r3 #5).
+    if args.cached_retag:
+        from kobato_eyes_tpu.core.pipeline.maintenance import retag_all
+
+        cache_dir = work / "input_cache"
+        settings_cached = Settings(
+            pipeline=PipelineSettings(
+                roots=[lib], batch_size=args.batch_size, io_workers=4,
+                tagger_input_cache=True, input_cache_dir=cache_dir,
+            ),
+            index=settings.index,
+        )
+        retag_all(db, force=True)
+        t0 = time.perf_counter()
+        st1 = run_index_once(db, settings_cached, tagger, epoch_manager=epochs)
+        phases["retag_coldcache_s"] = round(time.perf_counter() - t0, 2)
+
+        retag_all(db, force=True)
+        t0 = time.perf_counter()
+        st2 = run_index_once(db, settings_cached, tagger, epoch_manager=epochs)
+        phases["retag_warmcache_s"] = round(time.perf_counter() - t0, 2)
+        phases["retag_warmcache_imgs_per_s"] = round(
+            info["n"] / phases["retag_warmcache_s"], 1
+        )
+        checks["cached_retag"] = {
+            "cold_tagged": st1.tagged, "warm_tagged": st2.tagged,
+        }
+        assert st1.tagged == st2.tagged == info["n"], (st1.tagged, st2.tagged)
 
     # ---- dup scan from the catalog -----------------------------------
     from kobato_eyes_tpu.db.repository import (
@@ -222,7 +261,9 @@ def main(argv: list[str] | None = None) -> int:
     hnsw = HnswIndex(dim=vecs.shape[1])
     hnsw.add(vecs, ids)
     phases["ann_build_s"] = round(time.perf_counter() - t0, 2)
-    probe = np.random.default_rng(0).choice(len(ids), size=64, replace=False)
+    probe = np.random.default_rng(0).choice(
+        len(ids), size=min(64, len(ids)), replace=False
+    )
     t0 = time.perf_counter()
     _, flat_ids = flat.search(vecs[probe], k=10)
     phases["ann_query_s"] = round(time.perf_counter() - t0, 3)
@@ -247,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
     removed = sorted(lib.glob("img_00001*.png"))[:10]
     for p in removed:
         p.unlink()
+    version_before = epochs.current.version
     t0 = time.perf_counter()
     rstats = refresh_root(db, settings, tagger, lib, epoch_manager=epochs)
     phases["refresh_s"] = round(time.perf_counter() - t0, 2)
@@ -256,7 +298,7 @@ def main(argv: list[str] | None = None) -> int:
     }
     assert rstats.tagged == 25, rstats.tagged
     assert rstats.missing == len(removed), (rstats.missing, len(removed))
-    assert epochs.current.version == 2
+    assert epochs.current.version == version_before + 1
 
     total = sum(v for k, v in phases.items() if k.endswith("_s"))
     print(json.dumps({
