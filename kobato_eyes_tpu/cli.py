@@ -671,7 +671,6 @@ def cmd_ann(args) -> int:
 
     from kobato_eyes_tpu.db.connection import bootstrap
     from kobato_eyes_tpu.index.embedder import ImageEmbedder
-    from kobato_eyes_tpu.index.hnsw import HnswIndex
     from kobato_eyes_tpu.utils.image_io import load_rgb_array
     from kobato_eyes_tpu.utils.paths import get_app_paths
 
@@ -716,6 +715,7 @@ def cmd_ann(args) -> int:
 
     if args.build:
         from kobato_eyes_tpu.core.pipeline.embed_stage import load_embeddings
+        from kobato_eyes_tpu.index.auto import build_auto_index, save_auto_index
 
         conn = bootstrap(db)
         try:
@@ -726,9 +726,11 @@ def cmd_ann(args) -> int:
             ).fetchall()
         finally:
             conn.close()
-        index = HnswIndex(dim=embedder.embed_dim)
+        all_vecs: list[np.ndarray] = []
+        all_ids: list[np.ndarray] = []
         if len(stored_ids) and stored_vecs.shape[1] == embedder.embed_dim:
-            index.add(stored_vecs, stored_ids)
+            all_vecs.append(np.asarray(stored_vecs, np.float32))
+            all_ids.append(np.asarray(stored_ids, np.int64))
             done = set(stored_ids.tolist())
             rows = [r for r in rows if int(r["id"]) not in done]
             print(f"{len(stored_ids)} stored embeddings loaded", file=sys.stderr)
@@ -741,19 +743,31 @@ def cmd_ann(args) -> int:
             batch.append(arr)
             ids.append(int(r["id"]))
             if len(batch) >= settings.pipeline.batch_size:
-                index.add(embedder.embed_batch(batch), np.array(ids[-len(batch):]))
+                all_vecs.append(np.asarray(embedder.embed_batch(batch)))
+                all_ids.append(np.array(ids[-len(batch):], np.int64))
                 batch.clear()
         if batch:
-            index.add(embedder.embed_batch(batch), np.array(ids[-len(batch):]))
-        index.save(graph_path)
-        print(f"built ANN index over {len(index)} images -> {graph_path}")
+            all_vecs.append(np.asarray(embedder.embed_batch(batch)))
+            all_ids.append(np.array(ids[-len(batch):], np.int64))
+        vecs = np.concatenate(all_vecs) if all_vecs else np.zeros((0, embedder.embed_dim), np.float32)
+        fids = np.concatenate(all_ids) if all_ids else np.zeros(0, np.int64)
+        # corpus-size routing: HNSW graph below the measured build-wall cap
+        # (KET_ANN_HNSW_MAX, default 300k), device flat/IVF above it
+        index = build_auto_index(vecs, fids)
+        save_auto_index(index, graph_path)
+        print(
+            f"built ANN index ({type(index).__name__}) over {len(index)} "
+            f"images -> {graph_path}"
+        )
         return 0
 
     if args.query_image:
+        from kobato_eyes_tpu.index.auto import load_auto_index
+
         arr = load_rgb_array(args.query_image)
         if arr is None:
             raise SystemExit(f"cannot decode {args.query_image}")
-        index = HnswIndex.load(graph_path, dim=embedder.embed_dim)
+        index = load_auto_index(graph_path, dim=embedder.embed_dim)
         vec = embedder.embed_batch([arr])
         scores, ids = index.search(vec, k=args.limit)
         conn = bootstrap(db)
