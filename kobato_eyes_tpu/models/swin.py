@@ -52,6 +52,13 @@ class SwinConfig:
     # (Mosaic's DEFAULT already runs f32 operands at 1-pass bf16 rate),
     # "highest" (exact 6-pass f32) 99.1 ms / err 0.0027 vs exact einsum.
     qk_precision: str = "default"
+    # Post-norm LayerNorm implementation for the block residuals:
+    # "pallas_residual" = one-pass LN with the residual add fused into the
+    # kernel epilogue (ops/pallas_layernorm_residual.py) — the r3 retry
+    # condition, measured r4: 97.4 -> 100.4 ms (NULL; XLA's fusion wins
+    # even with the residual inside — see the kernel docstring). Keep the
+    # default; the knob exists to re-measure on future hardware.
+    ln_impl: str = "xla"  # "xla" | "pallas_residual"
 
     def __post_init__(self) -> None:
         # unknown knob values would otherwise silently fall through to the
@@ -62,6 +69,8 @@ class SwinConfig:
             raise ValueError(f"unknown act {self.act!r}")
         if self.qk_precision not in ("default", "bf16", "highest"):
             raise ValueError(f"unknown qk_precision {self.qk_precision!r}")
+        if self.ln_impl not in ("xla", "pallas_residual"):
+            raise ValueError(f"unknown ln_impl {self.ln_impl!r}")
 
     @property
     def num_stages(self) -> int:
@@ -216,6 +225,37 @@ class WindowAttention(nn.Module):
         )(out)
 
 
+class _ResidualPostNorm(nn.Module):
+    """``shortcut + LayerNorm(x)`` with nn.LayerNorm's exact param tree
+    ("scale"/"bias" under this module's name), routed to the residual-fused
+    Pallas kernel when ``cfg.ln_impl == "pallas_residual"``."""
+
+    cfg: SwinConfig
+
+    @nn.compact
+    def __call__(self, x: Array, shortcut: Array) -> Array:
+        cfg = self.cfg
+        c = x.shape[-1]
+        # params defined HERE (not via a nested nn.LayerNorm) so the path is
+        # <name>/scale|bias in both branches — checkpoints are impl-agnostic
+        gamma = self.param("scale", nn.initializers.ones, (c,), cfg.param_dtype)
+        beta = self.param("bias", nn.initializers.zeros, (c,), cfg.param_dtype)
+        if cfg.ln_impl == "pallas_residual":
+            from kobato_eyes_tpu.ops.pallas_layernorm_residual import (
+                layernorm_residual,
+            )
+
+            return layernorm_residual(
+                x, shortcut.astype(cfg.dtype), gamma, beta, eps=1e-5
+            )
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        return shortcut.astype(cfg.dtype) + y.astype(cfg.dtype)
+
+
 class SwinBlock(nn.Module):
     cfg: SwinConfig
     num_heads: int
@@ -240,14 +280,15 @@ class SwinBlock(nn.Module):
         x = _window_reverse(attn, w, h, wd)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
-        # SwinV2 post-norm residuals
-        x = shortcut + nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm1")(x)
+        # SwinV2 post-norm residuals (ln_impl routes to the residual-fused
+        # Pallas LN; param tree is nn.LayerNorm's either way)
+        x = _ResidualPostNorm(cfg, name="norm1")(x, shortcut)
 
         shortcut = x
         hdn = nn.Dense(int(c * cfg.mlp_ratio), dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
         hdn = nn.gelu(hdn, approximate=(cfg.act == "gelu_tanh"))
         hdn = nn.Dense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(hdn)
-        return shortcut + nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="norm2")(hdn)
+        return _ResidualPostNorm(cfg, name="norm2")(hdn, shortcut)
 
 
 class PatchMerging(nn.Module):
