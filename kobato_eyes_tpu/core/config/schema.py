@@ -107,6 +107,9 @@ class PipelineSettings(BaseModel):
     prefetch_depth: int = Field(default=4, ge=1, le=64)
     io_workers: int = Field(default=8, ge=1, le=64)
     hash_batch_size: int = Field(default=4096, ge=1)
+    # in-flight tagger batches before the oldest result is fetched (>1
+    # overlaps relay round trips with device compute; 1 = sync per batch)
+    pipeline_depth: int = Field(default=3, ge=1, le=16)
     # prepared-tensor cache (reference KE_TAGGER_INPUT_CACHE, loaders.py:205-225)
     tagger_input_cache: bool = False
     input_cache_dir: Path | None = None

@@ -125,6 +125,7 @@ class IndexPipeline:
                         io_workers=self._settings.pipeline.io_workers,
                         input_cache_dir=cache_dir,
                         is_cancelled=self._is_cancelled,
+                        pipeline_depth=self._settings.pipeline.pipeline_depth,
                     ).run(scan.records, writer, self._progress)
                 finally:
                     self._progress.phase(IndexPhase.WRITE)

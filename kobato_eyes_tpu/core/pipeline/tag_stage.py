@@ -51,6 +51,7 @@ class TagStage:
         io_workers: int = 8,
         input_cache_dir: str | None = None,
         is_cancelled: Callable[[], bool] | None = None,
+        pipeline_depth: int = 3,
     ) -> None:
         self._tagger = tagger
         self._tagger_sig = tagger_sig
@@ -59,6 +60,7 @@ class TagStage:
         self._io_workers = io_workers
         self._input_cache_dir = input_cache_dir
         self._is_cancelled = is_cancelled or (lambda: False)
+        self._pipeline_depth = max(1, int(pipeline_depth))
 
     def run(
         self,
@@ -90,12 +92,47 @@ class TagStage:
             cache=cache,
             is_cancelled=self._is_cancelled,
         )
+        # Bounded in-flight pipeline: through the relay, a per-batch sync
+        # costs upload RTT + block + fetch (~1 s/batch measured vs 50 ms of
+        # device work); dispatching up to pipeline_depth batches before the
+        # oldest is fetched overlaps those round trips with compute. Taggers
+        # without the dispatch/complete split (dummy, test fakes) take the
+        # per-batch path unchanged. Failure policy preserved: a batch whose
+        # dispatch OR completion raises re-runs through the synchronous
+        # halving retry.
+        can_pipeline = (
+            self._pipeline_depth > 1
+            and hasattr(self._tagger, "dispatch_batch_prepared")
+            and hasattr(self._tagger, "complete_batch_prepared")
+        )
+        from collections import deque
+
+        inflight: deque = deque()
         done = 0
         for batch in loader:
             if self._is_cancelled():
                 break
-            self._infer_with_retry(batch, sink, result)
-            done += len(batch.records)
+            if not can_pipeline:
+                self._infer_with_retry(batch, sink, result)
+                done += len(batch.records)
+                progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
+                continue
+            t0 = time.perf_counter()
+            try:
+                handle = self._tagger.dispatch_batch_prepared(batch.pixels)
+            except Exception:  # noqa: BLE001 — tracing/shape errors
+                logger.warning("dispatch failed; falling back to sync retry")
+                self._infer_with_retry(batch, sink, result)
+                done += len(batch.records)
+                progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
+                continue
+            result.infer_seconds += time.perf_counter() - t0
+            inflight.append((batch, handle))
+            if len(inflight) >= self._pipeline_depth:
+                done += self._complete_pipelined(*inflight.popleft(), sink, result)
+                progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
+        while inflight and not self._is_cancelled():
+            done += self._complete_pipelined(*inflight.popleft(), sink, result)
             progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
         # decode failures discovered by the loader
         for r in todo:
@@ -108,6 +145,31 @@ class TagStage:
             result.infer_seconds, result.batches,
         )
         return result
+
+    def _complete_pipelined(
+        self, batch: PreparedBatch, handle: tuple, sink: WriteSink,
+        result: TagStageResult,
+    ) -> int:
+        """Fetch one in-flight batch; device failures re-run it through the
+        synchronous halving retry (same terminal behavior as the sync path)."""
+        try:
+            t0 = time.perf_counter()
+            outputs = self._tagger.complete_batch_prepared(handle)
+            result.infer_seconds += time.perf_counter() - t0
+            result.batches += 1
+        except Exception:  # noqa: BLE001
+            logger.warning(
+                "pipelined batch of %d failed at completion; sync retry",
+                len(batch.records),
+            )
+            self._infer_with_retry(batch, sink, result)
+            return len(batch.records)
+        now = time.time()
+        for record, output in zip(batch.records, outputs):
+            sink.put(self._to_write_item(record, output, now))
+            record.tagged = True
+            result.tagged += 1
+        return len(batch.records)
 
     def _infer_with_retry(
         self, batch: PreparedBatch, sink: WriteSink, result: TagStageResult

@@ -337,6 +337,43 @@ class JaxTagger:
         fetched = jax.device_get(self._select_device(probs, thr_vec, limits))
         return self._select_host(fetched, limits, thresholds)
 
+    # -- pipelined inference (dispatch/complete split) ---------------------
+    # infer_batch_prepared syncs per batch: through the relay every batch
+    # pays upload RTT + block_until_ready + device_get — measured ~1 s/batch
+    # in the pipeline while the chained device forward is 50 ms/batch
+    # (docs/benchmarks.md r4 E2E attribution). The split lets the tag stage
+    # keep a bounded window of batches in flight so RTTs overlap compute.
+
+    def dispatch_batch_prepared(
+        self,
+        batch: np.ndarray,
+        *,
+        thresholds: ThresholdMap | None = None,
+        max_tags: MaxTagsMap | None = None,
+    ) -> tuple:
+        """Queue forward + device-side top-k for one batch WITHOUT syncing.
+
+        Returns an opaque handle for :meth:`complete_batch_prepared`. Device
+        errors surface at completion time (jax dispatch is async)."""
+        thr_vec = (
+            self._thr_vec_np
+            if thresholds is None
+            else build_threshold_vector(
+                self.cats,
+                {**self.thresholds, **{int(k): float(v) for k, v in thresholds.items()}},
+                score_floor=self.score_floor,
+            )
+        )
+        limits = resolve_limits(self.max_tags, max_tags)
+        pending = self._select_device(self.forward_probs(batch), thr_vec, limits)
+        return (pending, limits, thresholds)
+
+    def complete_batch_prepared(self, handle: tuple) -> list[TagResult]:
+        """Fetch + host-side selection for a dispatched batch (one sync)."""
+        pending, limits, thresholds = handle
+        fetched = jax.device_get(pending)
+        return self._select_host(fetched, limits, thresholds)
+
     def infer_batches_prepared(
         self,
         batches: Sequence[np.ndarray],

@@ -129,3 +129,63 @@ def test_halving_retry_isolates_poison_image(env, tmp_path):
         assert n_tagged == len(paths)
     finally:
         conn.close()
+
+
+def test_pipelined_tagger_matches_sync(env):
+    """With a real JaxTagger the tag stage runs the bounded in-flight
+    pipeline (dispatch N batches before fetching the oldest); catalog rows
+    must be identical to the per-batch sync path (pipeline_depth=1)."""
+    from kobato_eyes_tpu.models.tagger import WD14Tagger
+
+    db, settings, root, paths = env
+
+    def run(depth, db_path):
+        reset_bootstrap_cache()
+        s = Settings(pipeline=PipelineSettings(
+            roots=[root], batch_size=2, io_workers=2, pipeline_depth=depth,
+        ))
+        tagger = WD14Tagger(arch="vit", preset="tiny", image_size=64, fast_math=False)
+        stats = run_index_once(db_path, s, tagger)
+        conn = bootstrap(db_path)
+        rows = conn.execute(
+            "SELECT f.path, t.name, ft.score FROM file_tags ft "
+            "JOIN files f ON f.id = ft.file_id JOIN tags t ON t.id = ft.tag_id "
+            "ORDER BY f.path, t.name"
+        ).fetchall()
+        out = [(r["path"], r["name"], round(r["score"], 5)) for r in rows]
+        conn.close()
+        return stats, out
+
+    stats_sync, rows_sync = run(1, db.parent / "sync.sqlite")
+    stats_pipe, rows_pipe = run(3, db.parent / "pipe.sqlite")
+    assert stats_pipe.tagged == stats_sync.tagged == len(paths)
+    assert rows_pipe == rows_sync
+    assert len(rows_pipe) > 0
+
+
+def test_pipelined_completion_failure_falls_back_to_sync_retry(env, tmp_path):
+    """A batch whose pipelined completion raises re-runs through the
+    synchronous halving retry — terminal behavior identical to the sync
+    path (failed image isolated, rest tagged)."""
+    from kobato_eyes_tpu.models.tagger import WD14Tagger
+
+    db, settings, root, paths = env
+
+    class FlakyComplete(WD14Tagger):
+        fails = 1
+
+        def complete_batch_prepared(self, handle):
+            if FlakyComplete.fails:
+                FlakyComplete.fails -= 1
+                raise RuntimeError("relay hiccup")
+            return super().complete_batch_prepared(handle)
+
+    reset_bootstrap_cache()
+    s = Settings(pipeline=PipelineSettings(
+        roots=[root], batch_size=2, io_workers=2, pipeline_depth=2,
+    ))
+    tagger = FlakyComplete(arch="vit", preset="tiny", image_size=64, fast_math=False)
+    stats = run_index_once(db, s, tagger)
+    # the failed completion re-ran synchronously: everything still tagged
+    assert stats.tagged == len(paths)
+    assert stats.tag_failed == 0
