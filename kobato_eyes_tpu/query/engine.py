@@ -948,16 +948,23 @@ def search_epoch(
     positive = (
         extract_positive_tag_terms(query) if order_by == "relevance" else []
     )
+    mask = None
     if mesh is not None and int(mesh.shape.get("data", 1)) > 1:
         # multi-chip: file-row-sharded mask evaluation (query/sharded);
         # relevance + ordering below are shared host code, so identity with the
         # single-chip path is structural, not re-proved per feature
         from kobato_eyes_tpu.query.sharded import sharded_mask_words
 
-        mask = _unpack_mask(
-            sharded_mask_words(epoch, mesh, query, expr, thr), epoch.num_files
-        )
-    else:
+        try:
+            mask = _unpack_mask(
+                sharded_mask_words(epoch, mesh, query, expr, thr),
+                epoch.num_files,
+            )
+        except ValueError as exc:
+            # e.g. a non-power-of-two data axis can't divide the padded file
+            # rows: serve the query single-chip rather than failing it
+            logger.warning("mesh cannot shard this epoch (%s); single-chip", exc)
+    if mask is None:
         # mask evaluation: one shape-generic program per query STRUCTURE (incl.
         # per-slot posting-length buckets), shared across epochs; operand tables
         # cached per (epoch, query)

@@ -110,3 +110,20 @@ def test_sharded_mesh_2dev(epoch):
     a = search_epoch(epoch, "1girl OR solo", limit=100)
     b = search_epoch(epoch, "1girl OR solo", limit=100, mesh=mesh)
     assert [r.file_id for r in a] == [r.file_id for r in b]
+
+
+def test_unshardable_mesh_falls_back_to_single_chip(epoch):
+    """A data axis that cannot divide the padded file rows (non-power-of-two
+    mesh) must serve the query single-chip with a warning, not raise."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()[:3]  # 3 does not divide the power-of-two n_pad
+    if len(devs) < 3:
+        pytest.skip("needs 3 devices")
+    mesh = Mesh(np.array(devs).reshape(3, 1), ("data", "model"))
+    solo = search_epoch(epoch, "1girl OR smile", limit=50)
+    via_mesh = search_epoch(epoch, "1girl OR smile", limit=50, mesh=mesh)
+    assert [(r.file_id, r.relevance) for r in via_mesh] == [
+        (r.file_id, r.relevance) for r in solo
+    ]
