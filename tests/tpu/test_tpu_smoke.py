@@ -124,16 +124,29 @@ def test_threshold_sweep_on_tpu(tpu_backend, rng):
         assert cluster_ids(sweep[thr]) == cluster_ids(solo)
 
 
-def test_resident_packing_guard_on_tpu(tpu_backend, rng):
-    """n >= 2^20 on the wide-window path must refuse (20-bit row packing,
-    ops/hamming.py) instead of silently corrupting edge indices."""
+def test_wide_window_past_old_packing_cap_on_tpu(tpu_backend, rng):
+    """n > 2^20 on the wide-window path must produce CORRECT edges: the r3
+    multi-plane bitmask kernel replaced the old 20-bit row packing (which
+    this test used to assert raised at this scale) — rows past bit 20 must
+    neither corrupt indices nor drop the planted bucket's pairs."""
     from kobato_eyes_tpu.ops.hamming import BandedHammingScanner
 
     n = (1 << 20) + 64
     h = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
     h[:40] = h[0]  # one 40-deep bucket forces window > 32 (the wide path)
-    with pytest.raises(ValueError, match="20 bits"):
-        BandedHammingScanner().scan(h, hamming_threshold=4)
+    # plant one exact pair ABOVE the old 2^20 cap: index corruption from any
+    # packing regression would miss it or emit garbage indices
+    hi = (1 << 20) + 11
+    h[hi] = h[hi - 1]
+    i, j, d = BandedHammingScanner().scan(h, hamming_threshold=0)
+    pairs = set(zip(i.tolist(), j.tolist()))
+    from itertools import combinations
+
+    want_bucket = set(combinations(range(40), 2))
+    assert want_bucket <= pairs, "planted 40-bucket pairs missing"
+    assert (hi - 1, hi) in pairs, "pair above the old 2^20 cap missing"
+    assert (d == 0).all()
+    assert (np.asarray(i) < np.asarray(j)).all()
 
 
 def test_epoch_delta_on_tpu(tpu_backend, tmp_path):
