@@ -39,9 +39,16 @@ class CpuDuplicateScanner:
     def __init__(self, config: DuplicateScanConfig | None = None) -> None:
         self._config = config or DuplicateScanConfig()
         self.last_funnel = ScanFunnel()
+        # coarse per-phase walls of the last run (bucket/pairs/assemble):
+        # three perf_counter reads total, so the baseline itself is not
+        # distorted — lets the bench ledger diagnose degraded-VM captures
+        self.last_phases: dict[str, float] = {}
 
     def build_clusters(self, files: Iterable[DuplicateFileMeta]) -> list[DuplicateCluster]:
+        import time as _time
+
         cfg = self._config
+        _t0 = _time.perf_counter()
         candidates = [f for f in files if f.phash is not None]
         if not candidates:
             return []
@@ -54,6 +61,7 @@ class CpuDuplicateScanner:
                 key = (band, (ph >> (band * cfg.band_bits)) & band_mask)
                 buckets.setdefault(key, []).append(idx)
 
+        _t_bucket = _time.perf_counter()
         funnel = ScanFunnel()
         edges: dict[tuple[int, int], int] = {}
         cap = cfg.bucket_pair_cap
@@ -83,13 +91,21 @@ class CpuDuplicateScanner:
                         edges[key] = h
         funnel.edges = len(edges)
         self.last_funnel = funnel
+        _t_pairs = _time.perf_counter()
 
         files_by_id = {f.file_id: f for f in candidates}
         # reference-shaped assembly (Python DSU + tuple-key sorts): this class
         # is the *baseline*, so it must not borrow the vectorized assembly.
-        return assemble_clusters_py(
+        out = assemble_clusters_py(
             files_by_id, [(a, b, h) for (a, b), h in edges.items()]
         )
+        _t_end = _time.perf_counter()
+        self.last_phases = {
+            "bucket": round(_t_bucket - _t0, 4),
+            "pairs": round(_t_pairs - _t_bucket, 4),
+            "assemble": round(_t_end - _t_pairs, 4),
+        }
+        return out
 
 
 def _passes_size_ratio(a: DuplicateFileMeta, b: DuplicateFileMeta, ratio: float | None) -> bool:

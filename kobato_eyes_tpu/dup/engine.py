@@ -113,6 +113,30 @@ class TpuDuplicateScanner:
         """
         cfg = self._config
         t0 = time.perf_counter()
+        # Pause generational GC for the scan: the meta population alone is
+        # hundreds of thousands of tracked objects, so a single mid-scan
+        # gen-2 pass costs ~7 ms at 70k — more than most phases.  Allocation
+        # inside one scan is bounded (columns + edge arrays + result
+        # objects), so deferring collection to the caller's next allocation
+        # is safe.  The assembly burst's own pause nests harmlessly.
+        import gc
+
+        _gc_was_enabled = gc.isenabled()
+        if _gc_was_enabled:
+            gc.disable()
+        try:
+            return self._build_clusters_inner(files, cfg, files_token, t0)
+        finally:
+            if _gc_was_enabled:
+                gc.enable()
+
+    def _build_clusters_inner(
+        self,
+        files,
+        cfg: DuplicateScanConfig,
+        files_token: object | None,
+        t0: float,
+    ) -> list[DuplicateCluster]:
         ids, unique, ei, ej, dists = self._scan_edges(files, cfg, files_token=files_token)
         if len(unique) < 2:
             return []
@@ -192,10 +216,10 @@ class TpuDuplicateScanner:
             and cache[3] is not None
             and len(cache[2][1]) == len(candidates)
         ):
+            from kobato_eyes_tpu.native.build import object_ids_np
+
             _, _, (c_ids, c_unique, c_ph, c_sizes, _), c_meta_ids = cache
-            new_meta_ids = np.fromiter(
-                map(id, candidates), dtype=np.uint64, count=len(candidates)
-            )
+            new_meta_ids = object_ids_np(candidates)
             diff = np.flatnonzero(new_meta_ids != c_meta_ids)
             if len(diff) <= max(64, len(candidates) // 32):
                 ids = c_ids.copy()
@@ -251,8 +275,10 @@ class TpuDuplicateScanner:
         if files_token is not None:
             # meta_ids enable the identity-delta fast path ONLY when no id
             # dedup occurred (unique is positionally the candidates list)
+            from kobato_eyes_tpu.native.build import object_ids_np
+
             meta_ids = (
-                np.fromiter(map(id, unique), dtype=np.uint64, count=len(unique))
+                object_ids_np(unique)
                 if unique is candidates or len(unique) == len(candidates)
                 else None
             )

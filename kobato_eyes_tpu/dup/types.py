@@ -168,6 +168,10 @@ class NodeColumnCache:
 
     @staticmethod
     def _ids_of(metas) -> "np.ndarray":
+        if isinstance(metas, list):
+            from kobato_eyes_tpu.native.build import object_ids_np
+
+            return object_ids_np(metas)
         import numpy as np
 
         return np.fromiter(map(id, metas), dtype=np.uint64, count=len(metas))
@@ -514,34 +518,132 @@ def _assemble_tail(
     if k == 0:
         return []
 
-    # keeper per cluster: global lexsort by keeper_key within label
-    # (keys listed last-to-first for np.lexsort)
-    keeper_order = np.lexsort((nodes, name_r, suffix_r, -extpri, -res, -sizes, labels))
+    # --- ordering.  The sort keys share a common (-size, -res, -extpri)
+    # prefix, so that triple is ranked ONCE (one 3-key lexsort + cumsum);
+    # keeper/entry/cluster orders then pack (label, rank, ...) into single
+    # uint64 keys and each becomes ONE stable argsort instead of a 7-key
+    # lexsort (7 stable passes).  Stable ties resolve to row order, which is
+    # ascending node id by construction — exactly the trailing `nodes` key.
+    b_sz = max(int(sizes.max()).bit_length(), 1) if k else 1
+    b_res = max(int(res.max()).bit_length(), 1) if k else 1
+    b_ext = max(int(extpri.max()).bit_length(), 1) if k else 1
+    if b_sz + b_res + b_ext <= 64:
+        # one unstable u64 argsort (numpy radix) — ties share a rank, so
+        # stability is irrelevant for ranking; ~ flipped bits give descending
+        packed3 = (
+            (sizes.astype(np.uint64) << np.uint64(b_res + b_ext))
+            | (res.astype(np.uint64) << np.uint64(b_ext))
+            | extpri.astype(np.uint64)
+        )
+        order3 = np.argsort(~packed3)
+    else:  # >64-bit triple: exact 3-key lexsort fallback
+        order3 = np.lexsort((-extpri, -res, -sizes))
+    s_o, r_o, e_o = sizes[order3], res[order3], extpri[order3]
+    neq3 = np.empty(k, dtype=bool)
+    neq3[0] = False
+    neq3[1:] = (s_o[1:] != s_o[:-1]) | (r_o[1:] != r_o[:-1]) | (e_o[1:] != e_o[:-1])
+    sr_sorted = np.cumsum(neq3)
+    sr_r = np.empty(k, dtype=np.uint64)
+    sr_r[order3] = sr_sorted.astype(np.uint64)
+    # size-only descending rank (cluster key = -max member size), same pass
+    neq_s = np.empty(k, dtype=bool)
+    neq_s[0] = False
+    neq_s[1:] = s_o[1:] != s_o[:-1]
+    szd_sorted = np.cumsum(neq_s)
+    szd_r = np.empty(k, dtype=np.int64)
+    szd_r[order3] = szd_sorted
+
+    n_labels_total = int(labels.max()) + 1
+    lab_u = labels.astype(np.uint64)
+    b_lab = max(int(n_labels_total - 1).bit_length(), 1)
+    b_sr = max(int(sr_sorted[-1]).bit_length(), 1)
+    b_suf = max(int(suffix_r.max()).bit_length(), 1)
+    b_name = max(int(name_r.max()).bit_length(), 1)
+    b_path = max(int(path_r.max()).bit_length(), 1)
+    b_idx = max(int(k - 1).bit_length(), 1)
+    idx_u = np.arange(k, dtype=np.uint64)
+    idx_mask = np.uint64((1 << b_idx) - 1)
+
+    def _packed_order(key: "np.ndarray", key_bits: int) -> "np.ndarray":
+        """Stable order of a packed uint64 key: row index rides the low bits
+        so numpy's default (unstable, ~4x faster) sort IS the stable order,
+        and the sorted values' low bits are the permutation directly."""
+        if key_bits + b_idx <= 64:
+            packed = (key << np.uint64(b_idx)) | idx_u
+            return (np.sort(packed) & idx_mask).astype(np.int64)
+        return np.argsort(key, kind="stable")
+
+    if b_lab + b_sr + b_suf + b_name <= 64 and b_lab + 1 + b_sr + b_name <= 64:
+        # keeper per cluster: single packed-key sort by keeper_key within label
+        kkey = (
+            (lab_u << np.uint64(b_sr + b_suf + b_name))
+            | (sr_r << np.uint64(b_suf + b_name))
+            | (suffix_r.astype(np.uint64) << np.uint64(b_name))
+            | name_r.astype(np.uint64)
+        )
+        keeper_order = _packed_order(kkey, b_lab + b_sr + b_suf + b_name)
+    else:  # pathological rank widths: exact 7-key lexsort fallback
+        keeper_order = np.lexsort(
+            (nodes, name_r, suffix_r, -extpri, -res, -sizes, labels)
+        )
     first_of_label = np.ones(k, dtype=bool)
     sorted_labels = labels[keeper_order]
     first_of_label[1:] = sorted_labels[1:] != sorted_labels[:-1]
     keeper_rows = keeper_order[first_of_label]
-    keeper_node_by_label = np.zeros(int(labels.max()) + 1, dtype=np.int64)
+    keeper_node_by_label = np.zeros(n_labels_total, dtype=np.int64)
     keeper_node_by_label[labels[keeper_rows]] = nodes[keeper_rows]
-    is_keeper = (nodes == keeper_node_by_label[labels]).astype(np.int64)
+    is_keeper = nodes == keeper_node_by_label[labels]
 
     # member ordering within clusters (entry_sort_key)
-    entry_order = np.lexsort((nodes, name_r, -extpri, -res, -sizes, 1 - is_keeper, labels))
+    if b_lab + b_sr + b_suf + b_name <= 64 and b_lab + 1 + b_sr + b_name <= 64:
+        ekey = (
+            (lab_u << np.uint64(1 + b_sr + b_name))
+            | ((~is_keeper).astype(np.uint64) << np.uint64(b_sr + b_name))
+            | (sr_r << np.uint64(b_name))
+            | name_r.astype(np.uint64)
+        )
+        entry_order = _packed_order(ekey, b_lab + 1 + b_sr + b_name)
+    else:
+        entry_order = np.lexsort(
+            (nodes, name_r, -extpri, -res, -sizes, ~is_keeper, labels)
+        )
     ordered_labels = labels[entry_order]
     boundaries = np.nonzero(np.diff(ordered_labels))[0] + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [k]])
 
-    # per-label max size (cluster ordering key), vectorized
-    n_labels_total = int(labels.max()) + 1
-    maxsz_by_label = np.zeros(n_labels_total, dtype=np.int64)
-    np.maximum.at(maxsz_by_label, labels, sizes)
+    # per-label max size -> min descending size-rank (cluster ordering key).
+    # keeper_order's first-of-label row already has the label's max size
+    # (size is the keeper key's primary field), so no reduction is needed.
+    big_rank = np.int64(k)
+    minrank_by_label = np.full(n_labels_total, big_rank, dtype=np.int64)
+    minrank_by_label[labels[keeper_rows]] = szd_r[keeper_rows]
 
     # cluster ordering decided on arrays BEFORE any objects exist
     # (cluster_sort_key = (-max member size, keeper path)), then objects are
     # built directly in final order with C-level map/zip passes
     first_rows = entry_order[starts]
-    c_order = np.lexsort((path_r[first_rows], -maxsz_by_label[labels[first_rows]]))
+    n_clusters = len(first_rows)
+    b_rank = max(int(big_rank).bit_length(), 1)
+    b_cidx = max(int(n_clusters - 1).bit_length(), 1)
+    if b_rank + b_path + b_cidx <= 64:
+        ckey = (
+            minrank_by_label[labels[first_rows]].astype(np.uint64)
+            << np.uint64(b_path + b_cidx)
+        ) | (path_r[first_rows].astype(np.uint64) << np.uint64(b_cidx)) | np.arange(
+            n_clusters, dtype=np.uint64
+        )
+        c_order = (np.sort(ckey) & np.uint64((1 << b_cidx) - 1)).astype(np.int64)
+    elif b_rank + b_path <= 64:
+        ckey = (
+            minrank_by_label[labels[first_rows]].astype(np.uint64)
+            << np.uint64(b_path)
+        ) | path_r[first_rows].astype(np.uint64)
+        c_order = np.argsort(ckey, kind="stable")
+    else:
+        maxsz_by_label = np.zeros(n_labels_total, dtype=np.int64)
+        np.maximum.at(maxsz_by_label, labels, sizes)
+        c_order = np.lexsort((path_r[first_rows], -maxsz_by_label[labels[first_rows]]))
 
     _t_sort.__exit__(None, None, None)
     _t_build = metrics.timer("dup.assemble.build"); _t_build.__enter__()
