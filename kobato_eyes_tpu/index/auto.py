@@ -80,12 +80,23 @@ def save_auto_index(index, path: str | Path) -> None:
     if isinstance(index, HnswIndex):
         index.save(path)
         kind = "hnsw"
+        normalize = True
     else:
         vecs, ids = _corpus_of(index)
         np.savez(path.with_suffix(".npz"), vectors=vecs, ids=ids)
         kind = type(index).__name__
+        # FlatIndex(normalize=False) corpora must NOT be re-normalized on
+        # reload; IVF always normalizes (its stored corpus is already unit)
+        normalize = bool(getattr(index, "normalize", True))
     path.with_suffix(".meta.json").write_text(
-        json.dumps({"kind": kind, "n": len(index), "dim": int(index.dim)})
+        json.dumps(
+            {
+                "kind": kind,
+                "n": len(index),
+                "dim": int(index.dim),
+                "normalize": normalize,
+            }
+        )
     )
 
 
@@ -96,17 +107,26 @@ def load_auto_index(path: str | Path, *, dim: int, mesh=None):
 
     path = Path(path)
     meta_path = path.with_suffix(".meta.json")
-    kind = "hnsw"
+    meta: dict = {}
     if meta_path.exists():
-        kind = json.loads(meta_path.read_text()).get("kind", "hnsw")
+        meta = json.loads(meta_path.read_text())
+    kind = meta.get("kind", "hnsw")
     if kind == "hnsw":
         return HnswIndex.load(path, dim=dim)
     data = np.load(path.with_suffix(".npz"))
     vectors, ids = data["vectors"], data["ids"]
-    if len(vectors) <= DEFAULT_FLAT_MIN:
+    # Route by the RECORDED kind (an IvfFlatIndex saved below the flat cap —
+    # or a FlatIndex above it under a custom cap — must round-trip to the
+    # same class, whose recall semantics it was built with); size-based
+    # routing only for sidecars written before `kind` carried device lanes.
+    if kind == "FlatIndex" or (
+        kind not in ("IvfFlatIndex",) and len(vectors) <= DEFAULT_FLAT_MIN
+    ):
         from kobato_eyes_tpu.index.flat import FlatIndex
 
-        return FlatIndex(vectors, ids, mesh=mesh)
+        return FlatIndex(
+            vectors, ids, mesh=mesh, normalize=bool(meta.get("normalize", True))
+        )
     from kobato_eyes_tpu.index.ivf import IvfFlatIndex
 
     return IvfFlatIndex(vectors, ids=ids, mesh=mesh)

@@ -100,6 +100,7 @@ class FlatIndex:
         mesh=None,  # jax.sharding.Mesh: row-shard the corpus over `data`
     ) -> None:
         vecs = np.asarray(vectors, dtype=np.float32)
+        self.normalize = bool(normalize)  # persisted by index/auto.py sidecar
         if normalize:
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.maximum(norms, 1e-30)

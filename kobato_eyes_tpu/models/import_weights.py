@@ -573,10 +573,17 @@ def import_torch_checkpoint(
             if not is_onnx:
                 raise
             from kobato_eyes_tpu.models.onnx_import import (
+                read_onnx_nodes,
                 remap_folded_initializers,
             )
 
-            st2, mapping = remap_folded_initializers(st, manifest)
+            try:
+                # graph nodes let the bias-sibling chain corroborate folded
+                # pairings exactly instead of relying on order alone
+                nodes = read_onnx_nodes(path)
+            except Exception:
+                nodes = None
+            st2, mapping = remap_folded_initializers(st, manifest, nodes)
             if not mapping:
                 raise
             validate_state_against_manifest(st2, manifest, name=str(path))

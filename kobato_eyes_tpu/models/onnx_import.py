@@ -240,6 +240,92 @@ def read_onnx_initializers(path: str | Path) -> dict[str, np.ndarray]:
     return out
 
 
+def read_onnx_nodes(path: str | Path) -> list[tuple[str, tuple[str, ...], tuple[str, ...]]]:
+    """Light graph-node parse: ``[(op_type, inputs, outputs), ...]``.
+
+    Only the connectivity needed to corroborate folded-initializer recovery
+    (MatMul -> Add bias-sibling chains); attributes and subgraphs are skipped.
+    """
+    data = Path(path).read_bytes()
+    graph: bytes | None = None
+    for field, wire, value in _fields(data):
+        if field == 7 and wire == _WIRE_LEN:  # ModelProto.graph
+            graph = bytes(value)  # type: ignore[arg-type]
+            break
+    if graph is None:
+        raise OnnxParseError(f"{path}: no GraphProto found — not an ONNX model?")
+    nodes: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = []
+    for field, wire, value in _fields(graph):
+        if field != 1 or wire != _WIRE_LEN:  # GraphProto.node
+            continue
+        op_type = ""
+        inputs: list[str] = []
+        outputs: list[str] = []
+        for f2, w2, v2 in _fields(bytes(value)):  # type: ignore[arg-type]
+            if f2 == 1 and w2 == _WIRE_LEN:  # NodeProto.input
+                inputs.append(bytes(v2).decode("utf-8"))  # type: ignore[arg-type]
+            elif f2 == 2 and w2 == _WIRE_LEN:  # NodeProto.output
+                outputs.append(bytes(v2).decode("utf-8"))  # type: ignore[arg-type]
+            elif f2 == 4 and w2 == _WIRE_LEN:  # NodeProto.op_type
+                op_type = bytes(v2).decode("utf-8")  # type: ignore[arg-type]
+        nodes.append((op_type, tuple(inputs), tuple(outputs)))
+    return nodes
+
+
+def corroborate_folded_weights(
+    nodes: list[tuple[str, tuple[str, ...], tuple[str, ...]]],
+    folded_names: set[str],
+    named_initializers: set[str],
+) -> dict[str, str]:
+    """``{folded_name: manifest_weight_key}`` via the bias sibling.
+
+    A constant-folded Linear exports as ``MatMul(x, onnx::MatMul_k)`` whose
+    output feeds ``Add(.., <layer>.bias)`` — the bias keeps its name, so the
+    weight's manifest key is recoverable EXACTLY instead of by group order.
+    Only unambiguous chains are returned (one consuming MatMul, one Add
+    consumer, exactly one named-initializer bias input ending in ``bias``).
+    """
+    by_input: dict[str, list[int]] = {}
+    for i, (_, inputs, _) in enumerate(nodes):
+        for name in inputs:
+            by_input.setdefault(name, []).append(i)
+    out: dict[str, str] = {}
+    for fk in folded_names:
+        consumers = by_input.get(fk, [])
+        mm = [i for i in consumers if nodes[i][0] in ("MatMul", "Gemm")]
+        if len(mm) != 1:
+            continue
+        op, mm_inputs, mm_out = nodes[mm[0]]
+        if op == "Gemm" and len(mm_inputs) >= 3:
+            # Gemm carries its own bias as input 3
+            bias_candidates = [mm_inputs[2]]
+        else:
+            if not mm_out:
+                continue
+            adds = [
+                i for i in by_input.get(mm_out[0], []) if nodes[i][0] == "Add"
+            ]
+            if len(adds) != 1:
+                continue
+            bias_candidates = [
+                name for name in nodes[adds[0]][1] if name != mm_out[0]
+            ]
+        named_bias = [
+            b for b in bias_candidates
+            if b in named_initializers
+            and (b.endswith(".bias") or b.endswith("bias"))
+        ]
+        if len(named_bias) != 1:
+            continue
+        b = named_bias[0]
+        weight_key = (
+            b[: -len("bias")] + "weight" if b.endswith("bias") else None
+        )
+        if weight_key:
+            out[fk] = weight_key
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Folded-initializer recovery
 # ---------------------------------------------------------------------------
@@ -268,14 +354,18 @@ def _graph_order_key(name: str) -> tuple:
 def remap_folded_initializers(
     state: Mapping[str, np.ndarray],
     manifest: Mapping[str, tuple],
+    nodes: list[tuple[str, tuple[str, ...], tuple[str, ...]]] | None = None,
 ) -> tuple[dict[str, np.ndarray], dict[str, str]]:
     """Recover manifest keys from constant-folded initializer names.
 
     ``torch.onnx.export`` with default constant folding replaces a Linear
     weight consumed by MatMul with an anonymous ``onnx::MatMul_<n>``
     initializer holding the TRANSPOSED matrix (biases keep their names).
-    Recovery is two-tier, and deliberately refuses to guess:
+    Recovery is three-tier, and deliberately refuses to guess:
 
+    - **graph corroboration** (when ``nodes`` is given): the folded weight's
+      MatMul->Add chain names its bias sibling, which names the layer — an
+      EXACT pairing independent of any ordering assumption.
     - **unique shape**: a missing manifest key whose expected shape (or its
       2-D transpose) matches exactly one folded candidate, and no other
       missing key wants that shape.
@@ -283,12 +373,17 @@ def remap_folded_initializers(
       share one shape signature, pair them layer-order (natural sort of the
       manifest names) against graph order (the folded names' numeric
       suffix) — torch exports parameters in module order, so the orders
-      coincide. Groups of unequal size are left unmapped.
+      coincide. Groups of unequal size are left unmapped.  When graph
+      corroboration CONTRADICTS an order pairing, the corroborated pairing
+      wins and the disagreement is logged loudly.
 
     Returns ``(new_state, mapping)`` where mapping is
     ``{manifest_key: folded_name}``; transposed matches are transposed
     back.  Unmappable keys simply stay missing — the caller's strict
-    manifest validation then names them.
+    manifest validation then names them.  Any ORDER-matched (uncorroborated)
+    pairing logs a warning directing to ``ket validate-checkpoint``: shapes
+    and names validate cleanly even if such a pairing were wrong, only a
+    value-level forward check can prove it.
     """
     missing = [k for k in manifest if k not in state]
     folded = {
@@ -298,6 +393,15 @@ def remap_folded_initializers(
     }
     if not missing or not folded:
         return dict(state), {}
+
+    # graph-corroborated pairings: {folded_name: manifest_key}
+    corroborated: dict[str, str] = {}
+    if nodes is not None:
+        named = {k for k in state if k not in folded}
+        by_weight = corroborate_folded_weights(nodes, set(folded), named)
+        corroborated = {
+            fk: wk for fk, wk in by_weight.items() if wk in manifest
+        }
 
     def sig(shape: tuple) -> tuple:
         return tuple(int(d) for d in shape)
@@ -318,22 +422,63 @@ def remap_folded_initializers(
 
     out = dict(state)
     mapping: dict[str, str] = {}
+    n_order_matched = 0
     for want_sig, keys in want_by_sig.items():
         cands = have_by_sig.get(want_sig)
         if cands is None or len(cands) != len(keys):
             continue  # ambiguous or absent: leave for strict validation
         keys_sorted = sorted(keys, key=_natural_key)
         cands_sorted = sorted(cands, key=lambda c: _graph_order_key(c[0]))
-        for mk, (fk, transpose) in zip(keys_sorted, cands_sorted):
+        # graph corroboration first: fix every pair the bias chain proves,
+        # leaving order-matching only for the (shape-compatible) remainder
+        pairs: list[tuple[str, tuple[str, bool]]] = []
+        if corroborated:
+            fixed = [
+                (corroborated[fk], (fk, t))
+                for fk, t in cands_sorted
+                if fk in corroborated and corroborated[fk] in keys_sorted
+            ]
+            fixed_keys = {mk for mk, _ in fixed}
+            fixed_fks = {c[0] for _, c in fixed}
+            rest_keys = [k for k in keys_sorted if k not in fixed_keys]
+            rest_cands = [c for c in cands_sorted if c[0] not in fixed_fks]
+            order_pairs = list(zip(rest_keys, rest_cands))
+            for mk, (fk, _t) in fixed:
+                # loud disagreement check against what order would have said
+                order_mk = next(
+                    (k for k, (f, _) in zip(keys_sorted, cands_sorted) if f == fk),
+                    None,
+                )
+                if order_mk is not None and order_mk != mk:
+                    logger.warning(
+                        "onnx: graph corroboration overrides order pairing "
+                        "for %s: bias chain says %s, order said %s",
+                        fk, mk, order_mk,
+                    )
+            pairs = fixed + order_pairs
+            n_order_matched += len(order_pairs) if len(pairs) > 1 else 0
+        else:
+            pairs = list(zip(keys_sorted, cands_sorted))
+            if len(pairs) > 1:
+                n_order_matched += len(pairs)
+        for mk, (fk, transpose) in pairs:
             arr = folded[fk]
             out[mk] = arr.T if transpose else arr
             out.pop(fk, None)
             mapping[mk] = fk
     if mapping:
         logger.warning(
-            "onnx: recovered %d constant-folded initializers by shape/order "
-            "(e.g. %s <- %s); verify tag parity before trusting the import",
-            len(mapping), *next(iter(mapping.items())),
+            "onnx: recovered %d constant-folded initializers "
+            "(%d graph-corroborated, %d order-matched; e.g. %s <- %s)",
+            len(mapping), len(mapping) - n_order_matched, n_order_matched,
+            *next(iter(mapping.items())),
+        )
+    if n_order_matched:
+        logger.warning(
+            "onnx: %d pairings rest on module-order == graph-order (no bias "
+            "corroboration); a wrong pairing loads cleanly — run "
+            "`ket validate-checkpoint` before trusting this import",
+            n_order_matched,
         )
     return out, mapping
 
@@ -380,13 +525,18 @@ _NP_TO_ONNX = {
 
 
 def write_onnx_initializers(
-    path: str | Path, state: Mapping[str, np.ndarray], *, graph_name: str = "weights"
+    path: str | Path,
+    state: Mapping[str, np.ndarray],
+    *,
+    graph_name: str = "weights",
+    nodes: list[tuple[str, tuple[str, ...], tuple[str, ...]]] | None = None,
 ) -> None:
     """Serialize ``state`` as a minimal valid ONNX ``ModelProto``.
 
-    The graph carries initializers only (no nodes) — enough for weight
-    interchange and for round-trip tests of the reader against real
-    protobuf encoders.  raw_data little-endian, like every exporter.
+    The graph carries initializers (and, optionally, bare ``(op_type,
+    inputs, outputs)`` nodes — enough for folded-recovery corroboration
+    fixtures); attributes are never written.  raw_data little-endian, like
+    every exporter.
     """
     inits = []
     for name, arr in state.items():
@@ -400,7 +550,20 @@ def write_onnx_initializers(
         t += _len_field(8, name.encode("utf-8"))
         t += _len_field(9, a.astype(a.dtype.newbyteorder("<")).tobytes())
         inits.append(_len_field(5, bytes(t)))  # GraphProto.initializer
-    graph = _len_field(2, graph_name.encode("utf-8")) + b"".join(inits)
+    node_fields = []
+    for op_type, inputs, outputs in nodes or ():
+        nb = bytearray()
+        for i in inputs:
+            nb += _len_field(1, i.encode("utf-8"))  # NodeProto.input
+        for o in outputs:
+            nb += _len_field(2, o.encode("utf-8"))  # NodeProto.output
+        nb += _len_field(4, op_type.encode("utf-8"))  # NodeProto.op_type
+        node_fields.append(_len_field(1, bytes(nb)))  # GraphProto.node
+    graph = (
+        _len_field(2, graph_name.encode("utf-8"))
+        + b"".join(node_fields)
+        + b"".join(inits)
+    )
     opset = _tag(2, _WIRE_VARINT) + _varint(17)  # OperatorSetIdProto.version
     model = (
         _tag(1, _WIRE_VARINT) + _varint(8)  # ModelProto.ir_version

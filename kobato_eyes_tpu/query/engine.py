@@ -694,6 +694,10 @@ _ORDERINGS = ("relevance", "mtime", "path", "id")
 import weakref
 
 _COMPILED_CACHE: "weakref.WeakKeyDictionary[TagIndexEpoch, dict]" = weakref.WeakKeyDictionary()
+# per-epoch set of mesh ids proven unshardable for it (see search_epoch)
+_UNSHARDABLE_VERDICTS: "weakref.WeakKeyDictionary[TagIndexEpoch, set]" = (
+    weakref.WeakKeyDictionary()
+)
 _PER_EPOCH_CACHE_CAP = 512
 
 # structure -> jitted evaluator.  A "structure" is the query AST with tag
@@ -955,15 +959,26 @@ def search_epoch(
         # single-chip path is structural, not re-proved per feature
         from kobato_eyes_tpu.query.sharded import sharded_mask_words
 
-        try:
-            mask = _unpack_mask(
-                sharded_mask_words(epoch, mesh, query, expr, thr),
-                epoch.num_files,
-            )
-        except ValueError as exc:
-            # e.g. a non-power-of-two data axis can't divide the padded file
-            # rows: serve the query single-chip rather than failing it
-            logger.warning("mesh cannot shard this epoch (%s); single-chip", exc)
+        # memoized unshardable verdict: a persistently unshardable
+        # (epoch, mesh) pair must not re-attempt sharding and re-warn on
+        # every query of a hot serving path.  Keyed by epoch identity (weak,
+        # like _COMPILED_CACHE) holding the mesh ids ruled out for it; a
+        # recycled mesh id can at worst serve single-chip, never mis-answer.
+        ruled_out = _UNSHARDABLE_VERDICTS.setdefault(epoch, set())
+        if id(mesh) not in ruled_out:
+            try:
+                mask = _unpack_mask(
+                    sharded_mask_words(epoch, mesh, query, expr, thr),
+                    epoch.num_files,
+                )
+            except ValueError as exc:
+                # e.g. a non-power-of-two data axis can't divide the padded
+                # file rows: serve the query single-chip rather than failing
+                logger.warning(
+                    "mesh cannot shard this epoch (%s); single-chip "
+                    "(verdict cached for this epoch+mesh)", exc,
+                )
+                ruled_out.add(id(mesh))
     if mask is None:
         # mask evaluation: one shape-generic program per query STRUCTURE (incl.
         # per-slot posting-length buckets), shared across epochs; operand tables

@@ -85,3 +85,37 @@ def test_legacy_graph_loads_without_sidecar(tmp_path, corpus):
     loaded = load_auto_index(path, dim=vecs.shape[1])
     assert isinstance(loaded, HnswIndex)
     assert len(loaded) == len(vecs)
+
+
+def test_reload_routes_by_recorded_kind(tmp_path):
+    """An IvfFlatIndex saved below DEFAULT_FLAT_MIN must round-trip to
+    IvfFlatIndex (recall semantics of the class it was built as), not be
+    re-routed to FlatIndex by size (ADVICE r4)."""
+    from kobato_eyes_tpu.index.ivf import IvfFlatIndex
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(500, 16)).astype(np.float32)
+    idx = IvfFlatIndex(vecs, n_clusters=4)
+    path = tmp_path / "small_ivf.idx"
+    save_auto_index(idx, path)
+    loaded = load_auto_index(path, dim=16)
+    assert isinstance(loaded, IvfFlatIndex)
+
+
+def test_reload_preserves_unnormalized_flat_corpus(tmp_path):
+    """FlatIndex(normalize=False) must not be re-normalized on reload."""
+    from kobato_eyes_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32) * 7.0  # non-unit rows
+    idx = FlatIndex(vecs, normalize=False)
+    path = tmp_path / "raw_flat.idx"
+    save_auto_index(idx, path)
+    loaded = load_auto_index(path, dim=8)
+    assert isinstance(loaded, FlatIndex)
+    assert loaded.normalize is False
+    q = vecs[:5]
+    s0, i0 = idx.search(q, k=3)
+    s1, i1 = loaded.search(q, k=3)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)

@@ -332,3 +332,86 @@ def test_embedder_from_clip_onnx(tmp_path):
     assert np.asarray(vecs).shape == (2, 8)
     # embeddings are unit-norm (cosine space)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(vecs), axis=1), 1.0, atol=1e-4)
+
+
+def test_graph_corroboration_fixes_order_swapped_fold(tmp_path):
+    """ADVICE r4: if an exporter's topological order diverges from module
+    order within a same-shape group, order pairing silently mis-assigns
+    weights (names/shapes validate cleanly).  With graph nodes present, the
+    MatMul->Add bias-sibling chain corroborates the pairing exactly and must
+    override the (wrong) order pairing."""
+    from kobato_eyes_tpu.models.onnx_import import (
+        read_onnx_nodes,
+        remap_folded_initializers,
+    )
+
+    rng = np.random.default_rng(0)
+    w1 = rng.normal(size=(8, 8)).astype(np.float32)
+    w2 = rng.normal(size=(8, 8)).astype(np.float32)
+    b1 = rng.normal(size=(8,)).astype(np.float32)
+    b2 = rng.normal(size=(8,)).astype(np.float32)
+    manifest = {
+        "blocks.0.fc.weight": (8, 8), "blocks.0.fc.bias": (8,),
+        "blocks.1.fc.weight": (8, 8), "blocks.1.fc.bias": (8,),
+    }
+    # ADVERSARIAL numbering: the folded counter ORDER-SWAPS the two layers
+    # (block 0's weight gets the HIGHER suffix), so order pairing is wrong
+    state = {
+        "onnx::MatMul_99": np.ascontiguousarray(w1.T),  # belongs to block 0
+        "onnx::MatMul_12": np.ascontiguousarray(w2.T),  # belongs to block 1
+        "blocks.0.fc.bias": b1,
+        "blocks.1.fc.bias": b2,
+    }
+    nodes = [
+        ("MatMul", ("x", "onnx::MatMul_99"), ("mm0_out",)),
+        ("Add", ("mm0_out", "blocks.0.fc.bias"), ("a0_out",)),
+        ("MatMul", ("a0_out", "onnx::MatMul_12"), ("mm1_out",)),
+        ("Add", ("mm1_out", "blocks.1.fc.bias"), ("a1_out",)),
+    ]
+    p = tmp_path / "swapped.onnx"
+    write_onnx_initializers(p, state, nodes=nodes)
+    assert read_onnx_nodes(p) == nodes  # writer/reader node round-trip
+    assert read_onnx_initializers(p).keys() == state.keys()
+
+    # WITHOUT nodes: order pairing silently swaps the weights (the trap)
+    no_nodes, mapping_plain = remap_folded_initializers(state, manifest)
+    np.testing.assert_array_equal(no_nodes["blocks.0.fc.weight"], w2)
+
+    # WITH nodes: corroboration assigns each weight to its true layer
+    fixed, mapping = remap_folded_initializers(state, manifest, nodes)
+    np.testing.assert_array_equal(fixed["blocks.0.fc.weight"], w1)
+    np.testing.assert_array_equal(fixed["blocks.1.fc.weight"], w2)
+    assert mapping["blocks.0.fc.weight"] == "onnx::MatMul_99"
+    assert mapping["blocks.1.fc.weight"] == "onnx::MatMul_12"
+
+
+def test_uncorroborated_order_match_warns_validate(tmp_path, caplog):
+    """Order-matched pairings without graph corroboration must tell the user
+    to run `ket validate-checkpoint` (a wrong pairing loads cleanly)."""
+    import logging
+
+    from kobato_eyes_tpu.models.onnx_import import remap_folded_initializers
+
+    rng = np.random.default_rng(1)
+    manifest = {"a.weight": (4, 4), "b.weight": (4, 4)}
+    state = {
+        "onnx::MatMul_1": rng.normal(size=(4, 4)).astype(np.float32),
+        "onnx::MatMul_2": rng.normal(size=(4, 4)).astype(np.float32),
+    }
+    with caplog.at_level(logging.WARNING):
+        _, mapping = remap_folded_initializers(state, manifest)
+    assert len(mapping) == 2
+    assert any("validate-checkpoint" in r.message for r in caplog.records)
+
+
+def test_gemm_bias_corroboration(tmp_path):
+    """Gemm folds carry the bias as their own third input."""
+    from kobato_eyes_tpu.models.onnx_import import corroborate_folded_weights
+
+    nodes = [
+        ("Gemm", ("x", "onnx::MatMul_5", "layer.3.bias"), ("g_out",)),
+    ]
+    out = corroborate_folded_weights(
+        nodes, {"onnx::MatMul_5"}, {"layer.3.bias"}
+    )
+    assert out == {"onnx::MatMul_5": "layer.3.weight"}

@@ -127,3 +127,34 @@ def test_unshardable_mesh_falls_back_to_single_chip(epoch):
     assert [(r.file_id, r.relevance) for r in via_mesh] == [
         (r.file_id, r.relevance) for r in solo
     ]
+
+
+def test_unshardable_verdict_memoized(epoch, caplog):
+    """The unshardable (epoch, mesh) verdict is cached: the shard attempt and
+    its warning happen once, not per request on a hot serving path."""
+    import logging
+
+    import jax
+    from jax.sharding import Mesh
+
+    from kobato_eyes_tpu.query import engine as eng
+
+    devs = jax.devices()[:3]
+    if len(devs) < 3:
+        pytest.skip("needs 3 devices")
+    mesh = Mesh(np.array(devs).reshape(3, 1), ("data", "model"))
+    eng._UNSHARDABLE_VERDICTS.pop(epoch, None)
+    with caplog.at_level(logging.WARNING, logger="kobato_eyes_tpu.query.engine"):
+        first = search_epoch(epoch, "1girl", limit=10, mesh=mesh)
+        n_warn_first = sum(
+            "cannot shard" in r.message for r in caplog.records
+        )
+        second = search_epoch(epoch, "1girl", limit=10, mesh=mesh)
+        n_warn_total = sum(
+            "cannot shard" in r.message for r in caplog.records
+        )
+    assert n_warn_first == 1
+    assert n_warn_total == 1, "verdict must be memoized per (epoch, mesh)"
+    assert [r.file_id for r in first] == [r.file_id for r in second]
+    solo = search_epoch(epoch, "1girl", limit=10)
+    assert [r.file_id for r in second] == [r.file_id for r in solo]
