@@ -24,6 +24,7 @@ ordering code is shared, not re-implemented.
 
 from __future__ import annotations
 
+import os
 import weakref
 from typing import Mapping
 
@@ -82,6 +83,28 @@ def _shard_epoch(epoch, mesh: Mesh) -> _ShardedArrays:
     rows_s, sc_s, t_s, sh_s = rows[order], sc[order], t_idx[order], shard_of[order]
     per_shard_nnz = np.bincount(sh_s, minlength=d)
     nnz_sh_pad = _pad_bucket(int(per_shard_nnz.max()))
+    # Skew policy: shard_map needs a rectangular (D, nnz_sh_pad) posting
+    # table, so every shard pads to the BUSIEST shard's entry count.  Under a
+    # pathological tag distribution (all postings landing in one row shard)
+    # that multiplies device memory by up to D vs the single-chip layout.
+    # Rather than silently paying it, refuse to shard when the padded total
+    # exceeds ``amp_cap`` x the single-chip padded size — search_epoch catches
+    # the ValueError, serves the query single-chip, and memoizes the verdict
+    # for this (epoch, mesh).  tests/query/test_sharded_skew.py pins both the
+    # balanced bound and the adversarial fallback.
+    amp_cap = float(os.environ.get("KET_QUERY_SHARD_AMP_CAP", "4.0"))
+    single_chip_pad = _pad_bucket(int(rows.shape[0]))
+    # d * 256 is the minimum rectangular table ANY d-way sharding pays
+    # (_pad_bucket floor), so tiny epochs are exempt — only genuine skew at
+    # scale trips the cap.
+    floor = max(single_chip_pad, d * 256)
+    if d * nnz_sh_pad > amp_cap * floor:
+        raise ValueError(
+            f"tag-postings skew would amplify sharded memory "
+            f"{d * nnz_sh_pad / single_chip_pad:.1f}x over single-chip "
+            f"(cap {amp_cap:.1f}x, KET_QUERY_SHARD_AMP_CAP); busiest shard "
+            f"holds {int(per_shard_nnz.max())} of {rows.shape[0]} postings"
+        )
 
     rows_local = np.zeros((d, nnz_sh_pad), dtype=np.int32)
     scores_local = np.zeros((d, nnz_sh_pad), dtype=np.float32)

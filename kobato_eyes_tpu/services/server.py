@@ -42,7 +42,11 @@ from urllib.parse import parse_qs, urlparse
 
 from kobato_eyes_tpu.db.connection import bootstrap
 from kobato_eyes_tpu.db.repository import autocomplete_tags, load_tag_thresholds, tag_stats
-from kobato_eyes_tpu.query.engine import EpochManager, search_epoch
+from kobato_eyes_tpu.query.engine import (
+    EpochManager,
+    search_epoch,
+    search_epoch_batch,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -155,6 +159,35 @@ class QueryServer:
             "results": [
                 {"file_id": r.file_id, "path": r.path, "relevance": r.relevance}
                 for r in rows
+            ],
+        }
+
+    def search_batch(
+        self, queries: list[str], *, order: str, limit: int, offset: int
+    ) -> dict[str, Any]:
+        """Amortized multi-query search: same-structure queries share one
+        compiled program and the batch syncs once (POST /search; VERDICT r4
+        #4 — per-query dispatch pays the device round trip Q times)."""
+        epoch = self._manager.current
+        if epoch is None:
+            raise RuntimeError("no epoch yet; POST /reload first")
+        t0 = time.perf_counter()
+        batches = search_epoch_batch(
+            epoch, queries, thresholds=self._thresholds,
+            order_by=order, limit=limit, offset=offset,
+        )
+        return {
+            "epoch": epoch.version,
+            "elapsed_ms": round((time.perf_counter() - t0) * 1e3, 2),
+            "batches": [
+                {
+                    "query": q,
+                    "results": [
+                        {"file_id": r.file_id, "path": r.path, "relevance": r.relevance}
+                        for r in rows
+                    ],
+                }
+                for q, rows in zip(queries, batches)
             ],
         }
 
@@ -531,6 +564,23 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if url.path == "/reload":
                 self._reply(200, self.core.reload())
+            elif url.path == "/search":
+                length = int(self.headers.get("Content-Length", 0))
+                if length > _MAX_POST_BYTES:
+                    self._reply(413, {"error": "request body too large"})
+                    return
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                queries = payload.get("queries", [])
+                if not isinstance(queries, list) or not queries or not all(
+                    isinstance(q, str) for q in queries
+                ):
+                    raise ValueError("queries must be a non-empty string list")
+                self._reply(200, self.core.search_batch(
+                    queries,
+                    order=payload.get("order", "relevance"),
+                    limit=int(payload.get("limit", 50)),
+                    offset=int(payload.get("offset", 0)),
+                ))
             elif url.path == "/delta":
                 length = int(self.headers.get("Content-Length", 0))
                 if length > _MAX_POST_BYTES:

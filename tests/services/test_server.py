@@ -90,6 +90,33 @@ def test_delta_and_reload_swap_epochs(server):
     assert len(_get(f"{base}/search?q=dog&order=id")["results"]) == 1
 
 
+def test_post_search_batch(server):
+    """POST /search: the amortized multi-query lane returns per-query result
+    lists identical to GET /search (VERDICT r4 #4)."""
+    base, _, _ = server
+    queries = ["girl", "cat", "girl OR cat", "nosuchtag"]
+    out = _post(f"{base}/search", {"queries": queries, "order": "id", "limit": 100})
+    assert [b["query"] for b in out["batches"]] == queries
+    assert out["elapsed_ms"] >= 0
+    for b in out["batches"]:
+        import urllib.parse
+
+        solo = _get(
+            f"{base}/search?q={urllib.parse.quote(b['query'])}&order=id&limit=100"
+        )
+        assert [r["file_id"] for r in b["results"]] == [
+            r["file_id"] for r in solo["results"]
+        ]
+    # malformed payloads are 400s, not crashes
+    import urllib.error
+
+    for payload in ({}, {"queries": []}, {"queries": "girl"}, {"queries": [1]}):
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(f"{base}/search", payload)
+        assert err.value.code == 400
+    assert _get(f"{base}/healthz")["ok"]
+
+
 def test_unknown_endpoint_404(server):
     base, _, _ = server
     with pytest.raises(urllib.error.HTTPError) as err:

@@ -163,6 +163,51 @@ def main(argv: list[str] | None = None) -> int:
                     mismatch += 1
         assert mismatch == 0, f"{mismatch} backend mismatches"
 
+        # --- batched multi-query dispatch (VERDICT r4 #4): the whole
+        # workload in ONE call — same-structure queries share a vmapped
+        # program, the batch syncs once; identity vs per-query asserted
+        from kobato_eyes_tpu.query.engine import search_epoch_batch
+
+        batched = search_epoch_batch(epoch, QUERY_WORKLOAD, limit=200)  # warm
+        for q, rows in zip(QUERY_WORKLOAD, batched):
+            solo = search_epoch(epoch, q, limit=200)
+            assert [r.file_id for r in rows] == [r.file_id for r in solo], q
+        batch_walls = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            search_epoch_batch(epoch, QUERY_WORKLOAD, limit=200)
+            batch_walls.append((time.perf_counter() - t0) * 1000)
+        batched_amortized_ms = float(np.percentile(batch_walls, 50)) / len(
+            QUERY_WORKLOAD
+        )
+
+        # --- dispatch-only latency: chained mask dispatches, ONE sync —
+        # the device-side cost with the host<->device round trip amortized
+        # out (the "locally-attached single-digit ms" ledger row: through a
+        # relay the RTT dominates p50; this is what remains without it)
+        import jax
+
+        from kobato_eyes_tpu.query.ast import parse_query
+        from kobato_eyes_tpu.query.engine import _query_tables, _structure_fn
+
+        thr_n = normalize_thresholds({})
+        disp_ms: list[float] = []
+        n_chain = 50
+        for q in QUERY_WORKLOAD:
+            expr = parse_query(q)
+            tabs = _query_tables(epoch, q, expr, thr_n)
+            fn = _structure_fn(tabs[0], tabs[1])
+            fn_args = (
+                epoch.rows_dev, epoch.scores_dev,
+                epoch.cat_max_dev, epoch.cat_present_dev,
+                epoch.smax_dev, epoch.smin_dev, *tabs[2:],
+            )
+            jax.block_until_ready(fn(*fn_args))  # warm
+            t0 = time.perf_counter()
+            outs = [fn(*fn_args) for _ in range(n_chain)]
+            jax.block_until_ready(outs)
+            disp_ms.append((time.perf_counter() - t0) * 1000 / n_chain)
+
         # post-epoch-swap cost: rebuild the epoch (fresh object, empty table
         # cache) and time the FIRST run of each query — with shape-generic
         # programs this is table upload only, not recompilation
@@ -189,6 +234,11 @@ def main(argv: list[str] | None = None) -> int:
                           "p95": round(float(np.percentile(d, 95)), 3)},
             "sql_ms": {"p50": round(float(np.percentile(s, 50)), 3),
                        "p95": round(float(np.percentile(s, 95)), 3)},
+            "batched_amortized_ms_per_query": round(batched_amortized_ms, 3),
+            "dispatch_only_ms": {
+                "p50": round(float(np.percentile(disp_ms, 50)), 3),
+                "max": round(float(max(disp_ms)), 3),
+            },
             "post_swap_first_query_ms": {
                 "p50": round(float(np.percentile(f, 50)), 3),
                 "max": round(float(f.max()), 3),
