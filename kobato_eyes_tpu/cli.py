@@ -471,18 +471,31 @@ def cmd_validate_checkpoint(args) -> int:
     """Push-button real-weight validation: import -> strict manifest ->
     exact-vs-fast-math forward parity -> tag parity at production
     thresholds. Exit 0 iff everything holds (models/validate.py)."""
-    from kobato_eyes_tpu.models.validate import validate_checkpoint
+    if args.arch == "clip":
+        from kobato_eyes_tpu.index.validate import validate_clip_checkpoint
 
-    report = validate_checkpoint(
-        args.checkpoint,
-        arch=args.arch,
-        preset=args.preset,
-        image_size=args.image_size,
-        classes=args.classes,
-        labels_path=args.labels,
-        n_images=args.images,
-        prob_tolerance=args.tolerance,
-    )
+        report = validate_clip_checkpoint(
+            args.checkpoint,
+            preset=args.preset,
+            image_size=args.image_size,
+            patch_size=args.patch_size,
+            embed_dim=int(args.classes) if args.classes else 512,
+            clip_variant=args.clip_variant,
+            n_images=args.images,
+        )
+    else:
+        from kobato_eyes_tpu.models.validate import validate_checkpoint
+
+        report = validate_checkpoint(
+            args.checkpoint,
+            arch=args.arch,
+            preset=args.preset,
+            image_size=args.image_size,
+            classes=args.classes,
+            labels_path=args.labels,
+            n_images=args.images,
+            prob_tolerance=args.tolerance,
+        )
     print(json.dumps(report, indent=2))
     return 0 if report["ok"] else 1
 
@@ -878,7 +891,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="import -> exact-vs-fast parity -> tag parity, one shot",
     )
     p.add_argument("checkpoint", help=".pth/.pt/.safetensors/.onnx or orbax dir")
-    p.add_argument("--arch", choices=["swinv2", "vit"], default="swinv2")
+    p.add_argument(
+        "--arch", choices=["swinv2", "vit", "pixai", "clip"], default="swinv2",
+        help="model family lane: WD14 backbones, the PixAI tagger "
+             "(preprocess.json + ips propagation), or the CLIP embedder",
+    )
     p.add_argument("--preset", default="base")
     p.add_argument("--image-size", type=int, default=448)
     p.add_argument("--classes", type=int, default=None,
@@ -888,6 +905,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic validation images to run")
     p.add_argument("--tolerance", type=float, default=0.02,
                    help="max allowed exact-vs-fast probability deviation")
+    p.add_argument("--clip-variant", choices=["openai", "open_clip"],
+                   default="openai", help="tower convention for --arch clip")
+    p.add_argument("--patch-size", type=int, default=32,
+                   help="ViT patch size for --arch clip (32 for ViT-B/32, "
+                        "16 for ViT-B/16)")
     p.set_defaults(fn=cmd_validate_checkpoint)
 
     p = sub.add_parser("reset", help="reset the catalog (timestamped backups)")

@@ -74,6 +74,7 @@ class JaxTagger:
         thresholds: ThresholdMap | None = None,
         max_tags: MaxTagsMap | None = None,
         tag_map_path: str | Path | None = None,
+        preprocess_json: str | Path | None = None,
         seed: int = 0,
         mesh: Any = None,
         bf16_params: bool = False,
@@ -147,7 +148,28 @@ class JaxTagger:
             raise ValueError(
                 f"model head ({self.cfg.num_classes}) != label count ({len(self.labels)})"
             )
-        self.spec = PreprocessSpec(mode=self.mode, size=self.cfg.image_size)
+        # mean/std from a PixAI-style preprocess.json (reference
+        # pixai_onnx.py:94-104: the release ships normalization statistics
+        # next to the model).  Explicit path wins; otherwise auto-discovered
+        # next to the checkpoint for pixai-mode taggers.
+        if preprocess_json is None and self.mode == "pixai" and checkpoint_path:
+            cand = Path(checkpoint_path)
+            cand = (cand if cand.is_dir() else cand.parent) / "preprocess.json"
+            if cand.exists():
+                preprocess_json = cand
+        if preprocess_json is not None:
+            from kobato_eyes_tpu.models.preprocess import spec_from_preprocess_json
+
+            self.spec = spec_from_preprocess_json(
+                preprocess_json, mode=self.mode, size=self.cfg.image_size
+            )
+            if self.spec.size != self.cfg.image_size:
+                raise ValueError(
+                    f"preprocess.json size {self.spec.size} != model input "
+                    f"size {self.cfg.image_size}"
+                )
+        else:
+            self.spec = PreprocessSpec(mode=self.mode, size=self.cfg.image_size)
         self.score_floor = float(score_floor)
         self.topk_cap = int(topk_cap)
         self.thresholds: dict[int, float] = dict(self.default_thresholds)
@@ -236,6 +258,10 @@ class JaxTagger:
             "max": json.dumps({k: v for k, v in self.max_tags.items()}, sort_keys=True),
             "floor": repr(self.score_floor),
             "cap": str(self.topk_cap),
+            # pixel-prep convention: a preprocess.json mean/std change must
+            # invalidate stored tags exactly like a threshold change would
+            "prep": f"{self.spec.mode}:{self.spec.size}:"
+                    f"{self.spec.mean}:{self.spec.std}",
         }
 
     # -- host prepare -----------------------------------------------------

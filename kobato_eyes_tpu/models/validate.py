@@ -59,6 +59,29 @@ def _synthetic_batch(image_size: int, n: int, seed: int = 0) -> list[np.ndarray]
     return out
 
 
+def _synthetic_pixai_labels(n: int) -> list:
+    """Synthetic label table with ips links: every CHARACTER row points at a
+    COPYRIGHT row, so the propagation path is exercised without real CSVs."""
+    import dataclasses
+
+    from kobato_eyes_tpu.models.labels import synthetic_labels
+
+    labels = synthetic_labels(n)
+    from kobato_eyes_tpu.models.base import TagCategory
+
+    copyrights = [m.name for m in labels if m.category == TagCategory.COPYRIGHT]
+    if not copyrights:
+        return labels
+    k = 0
+    for i, m in enumerate(labels):
+        if m.category == TagCategory.CHARACTER:
+            labels[i] = dataclasses.replace(
+                m, ips=(copyrights[k % len(copyrights)],)
+            )
+            k += 1
+    return labels
+
+
 def validate_checkpoint(
     path: str | Path,
     *,
@@ -74,25 +97,53 @@ def validate_checkpoint(
     """Run the full import → parity → tag-flip pipeline; returns a report.
 
     ``path`` may be a torch state dict (.pth/.pt), .safetensors, .onnx, or
-    an already-converted orbax checkpoint directory.  The report's ``ok``
-    is True iff the import validated strictly, both forwards are finite,
-    and the max per-label probability deviation is within tolerance; tag
-    flips are REPORTED (count + names) but only fail when a flipped score
-    sits further than the tolerance from its threshold (a flip within the
-    band is the documented cross-backend behavior, not a defect).
+    an already-converted orbax checkpoint directory.  ``arch`` picks the
+    model family lane: ``swinv2``/``vit`` (WD14 class), ``pixai``
+    (13461-label class: ViT backbone, preprocess.json mean/std discovery,
+    ips character→copyright propagation probe, reference
+    ``src/tagger/pixai_onnx.py:94-223``), or ``clip`` (embedder lane:
+    import → embed a fixed probe set → exact-search sanity).  The report's
+    ``ok`` is True iff the import validated strictly, both forwards are
+    finite, and the max per-label probability deviation is within
+    tolerance; tag flips are REPORTED (count + names) but only fail when a
+    flipped score sits further than the tolerance from its threshold (a
+    flip within the band is the documented cross-backend behavior, not a
+    defect).
     """
-    from kobato_eyes_tpu.models.labels import load_labels, synthetic_labels
-    from kobato_eyes_tpu.models.tagger import WD14Tagger, load_checkpoint
+    if arch == "clip":
+        # the CLIP lane lives with the embedder+ANN machinery (index layer;
+        # models must not import upward) — kobato_eyes_tpu.index.validate
+        raise ValueError(
+            "arch='clip' is served by "
+            "kobato_eyes_tpu.index.validate.validate_clip_checkpoint "
+            "(ket validate-checkpoint --arch clip dispatches there)"
+        )
+
+    from kobato_eyes_tpu.models.labels import load_labels
+    from kobato_eyes_tpu.models.tagger import (
+        PixaiTagger,
+        WD14Tagger,
+        load_checkpoint,
+    )
 
     path = Path(path)
     report: dict[str, Any] = {"path": str(path), "arch": arch, "preset": preset}
 
+    pixai = arch == "pixai"
+    backbone = "vit" if pixai else arch
     if labels_path is not None:
         labels = load_labels(labels_path)
+    elif pixai:
+        # real PixAI tables carry 13461 rows; synthetic default stays small
+        labels = _synthetic_pixai_labels(int(classes or 1024))
     else:
+        from kobato_eyes_tpu.models.labels import synthetic_labels
+
         labels = synthetic_labels(int(classes or 1024))
     n_classes = len(labels)
     report["classes"] = n_classes
+    if pixai:
+        report["ips_links"] = sum(1 for m in labels if m.ips)
 
     # --- 1. import (strict manifests; folded-ONNX recovery inside) --------
     if path.is_dir():  # orbax checkpoint directory
@@ -101,7 +152,7 @@ def validate_checkpoint(
     else:
         from kobato_eyes_tpu.models.import_weights import import_torch_checkpoint
 
-        if arch == "swinv2":
+        if backbone == "swinv2":
             from kobato_eyes_tpu.models.swin import swin_config
 
             cfg = swin_config(preset, image_size=image_size, num_classes=n_classes)
@@ -113,11 +164,25 @@ def validate_checkpoint(
         report["import"] = "strict-manifest-ok"
 
     common = dict(
-        labels=labels, arch=arch, preset=preset, image_size=image_size,
+        labels=labels, arch=backbone, preset=preset, image_size=image_size,
         params=params, thresholds=dict(thresholds) if thresholds else None,
     )
-    exact = WD14Tagger(fast_math=False, **common)
-    fast = WD14Tagger(fast_math=True, **common)
+    if pixai:
+        # the release layout ships normalization statistics next to the
+        # model file; pick them up and report which statistics loaded
+        pj = (path if path.is_dir() else path.parent) / "preprocess.json"
+        if pj.exists():
+            common["preprocess_json"] = pj
+        exact = PixaiTagger(fast_math=False, **common)
+        fast = PixaiTagger(fast_math=True, **common)
+        report["preprocess"] = {
+            "mode": exact.spec.mode, "size": exact.spec.size,
+            "mean": list(exact.spec.mean), "std": list(exact.spec.std),
+            "from_json": "preprocess_json" in common,
+        }
+    else:
+        exact = WD14Tagger(fast_math=False, **common)
+        fast = WD14Tagger(fast_math=True, **common)
     report["fast_path"] = {
         "attn_impl": fast.cfg.attn_impl, "act": fast.cfg.act,
     }
@@ -159,4 +224,44 @@ def validate_checkpoint(
     report["tag_flip_examples"] = flip_rows[:10]
 
     report["ok"] = bool(finite and dev <= prob_tolerance and out_of_band == 0)
+
+    # --- 4. (pixai) ips propagation probe ---------------------------------
+    # A crafted probability row — one above-threshold CHARACTER whose label
+    # carries an ips link — must surface the linked COPYRIGHT with at least
+    # the character's score (reference pixai_onnx.py:438-468; our
+    # select_pixai).  Checks THIS checkpoint's label table actually wires
+    # the propagation, independent of the weights.
+    if pixai:
+        report["ips_propagation_ok"] = _probe_ips_propagation(exact)
+        report["ok"] = bool(report["ok"] and report["ips_propagation_ok"])
     return report
+
+
+def _probe_ips_propagation(tagger) -> bool:
+    import jax.numpy as jnp
+
+    from kobato_eyes_tpu.models.base import TagCategory
+    from kobato_eyes_tpu.models.postprocess import resolve_limits
+
+    char = next(
+        (
+            m for m in tagger.labels
+            if m.category == TagCategory.CHARACTER and m.ips
+            and tagger._name_to_idx.get(m.ips[0]) is not None
+        ),
+        None,
+    )
+    if char is None:
+        logger.warning("ips probe skipped: no character label carries an ips link")
+        return True  # nothing to propagate in this table — vacuously ok
+    probs = np.zeros((1, len(tagger.labels)), dtype=np.float32)
+    probs[0, tagger._name_to_idx[char.name]] = 0.95
+    limits = resolve_limits(tagger.max_tags, None)
+    results = tagger._select(
+        jnp.asarray(probs), tagger._thr_vec_np, limits, None
+    )
+    got = {t.name: t.score for t in results[0].tags}
+    ip = char.ips[0]
+    return bool(
+        char.name in got and ip in got and got[ip] >= got[char.name] - 1e-6
+    )
