@@ -98,3 +98,6 @@ def test_full_dryrun_via_subprocess_under_hostile_env():
     assert proc.returncode == 0, proc.stderr
     assert "train ok" in proc.stdout
     assert "scan ok" in proc.stdout
+    assert "query ok" in proc.stdout
+    assert "ann ok" in proc.stdout
+    assert "infer ok" in proc.stdout  # 5th proof: dp x tp tagger inference
