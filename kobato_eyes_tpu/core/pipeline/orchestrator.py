@@ -82,6 +82,10 @@ class IndexPipeline:
     def run(self) -> IndexStats:
         t0 = time.perf_counter()
         stats = IndexStats()
+        # per-stage walls (scan/tag/embed/epoch) so a cold index run is
+        # attributable line-by-line (bench_e2e + docs/benchmarks.md)
+        walls: dict[str, float] = {}
+        stats.extra["stage_walls"] = walls
         conn = bootstrap(self._db_path)
         try:
             # SCAN
@@ -101,9 +105,11 @@ class IndexPipeline:
             stats.new, stats.changed, stats.missing = scan.new, scan.changed, len(scan.missing_ids)
         finally:
             conn.close()
+        walls["scan"] = round(time.perf_counter() - t0, 3)
 
         # TAG + WRITE under the quiesce gate (exclusive writer phase).
         tag_result = TagStageResult()
+        t_stage = time.perf_counter()
         if not self._is_cancelled():
             with quiesced():
                 writer = self._writer_factory()
@@ -134,8 +140,13 @@ class IndexPipeline:
         stats.tagged = tag_result.tagged
         stats.tag_failed = tag_result.failed
         stats.skipped = tag_result.skipped
+        walls["tag_write"] = round(time.perf_counter() - t_stage, 3)
+        # device dispatch+fetch inside the tag wall; the remainder is host
+        # decode/prepare/queue time the in-flight window could not hide
+        stats.extra["tag_infer_s"] = round(tag_result.infer_seconds, 3)
 
         # EMBED (optional ANN vector path; reference's src/index activation)
+        t_stage = time.perf_counter()
         if self._settings.index.enabled and not self._is_cancelled():
             from kobato_eyes_tpu.core.pipeline.embed_stage import EmbedStage
             from kobato_eyes_tpu.index.embedder import ImageEmbedder
@@ -157,10 +168,12 @@ class IndexPipeline:
                 stats.extra["embedded"] = embed_result.embedded
             finally:
                 conn.close()
+            walls["embed"] = round(time.perf_counter() - t_stage, 3)
 
         # EPOCH swap (the reference's offline FTS rebuild, device edition).
         # Incremental when an epoch is already live: only tagged + vanished
         # files are re-read (delta build), else a full snapshot.
+        t_stage = time.perf_counter()
         if self._epochs is not None and not self._is_cancelled():
             self._progress.phase(IndexPhase.EPOCH)
             # everything whose catalog row moved: tagged, tag-failed (must
@@ -178,6 +191,7 @@ class IndexPipeline:
                 stats.epoch_version = epoch.version
             finally:
                 conn.close()
+            walls["epoch"] = round(time.perf_counter() - t_stage, 3)
 
         stats.elapsed_sec = time.perf_counter() - t0
         self._progress.phase(IndexPhase.DONE)

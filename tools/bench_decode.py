@@ -39,10 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--io-workers", type=int, default=4)
     args = parser.parse_args(argv)
 
-    from tools.bench_e2e import _gen_library
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from bench_e2e import _gen_library
 
     from kobato_eyes_tpu.models.preprocess import letterbox_square_rgb
-    from kobato_eyes_tpu.utils.hashing import sha256_file
+    from kobato_eyes_tpu.utils.hashing import compute_sha256
     from kobato_eyes_tpu.utils.image_io import load_rgb_array
 
     lib = Path(args.workdir) / f"lib_{args.images}_{args.seed}"
@@ -104,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
     # -- scan-stage hashing cost -------------------------------------------
     t0 = time.perf_counter()
     for p in paths[: min(500, n)]:
-        sha256_file(p)
+        compute_sha256(p)
     dt = time.perf_counter() - t0
     report["sha256_imgs_per_s"] = round(min(500, n) / dt, 1)
 

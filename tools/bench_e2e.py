@@ -133,6 +133,8 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     stats = run_index_once(db, settings, tagger, epoch_manager=epochs)
     phases["index_s"] = round(time.perf_counter() - t0, 2)
+    phases["index_stage_walls"] = stats.extra.get("stage_walls", {})
+    phases["index_tag_infer_s"] = stats.extra.get("tag_infer_s")
     checks["indexed"] = {"scanned": stats.scanned, "tagged": stats.tagged,
                          "written": stats.written, "epoch": stats.epoch_version}
     assert stats.scanned == info["n"], (stats.scanned, info["n"])
