@@ -119,42 +119,63 @@ def cmd_search(args) -> int:
     from kobato_eyes_tpu.db.connection import bootstrap
     from kobato_eyes_tpu.db.repository import load_tag_thresholds, search_files, tags_for_files
     from kobato_eyes_tpu.query.ast import extract_positive_tag_terms
-    from kobato_eyes_tpu.query.engine import build_epoch, search_epoch
+    from kobato_eyes_tpu.query.engine import build_epoch, search_epoch, search_epoch_batch
     from kobato_eyes_tpu.query.sql import normalize_thresholds, translate_query
 
+    queries: list[str] = args.query
+    multi = len(queries) > 1
     conn = bootstrap(db)
     try:
         thresholds = load_tag_thresholds(conn)
         t0 = time.perf_counter()
         if args.backend == "device":
             epoch = _load_or_build_epoch(conn, db, args)
-            rows = search_epoch(
-                epoch, args.query, thresholds=thresholds,
-                order_by=args.order, limit=args.limit, offset=args.offset,
-            )
-            results = [
-                {"file_id": r.file_id, "path": r.path, "relevance": r.relevance}
-                for r in rows
+            if multi:
+                # same-structure queries share ONE compiled program and the
+                # batch syncs once (engine.search_epoch_batch) — through a
+                # relay each extra query costs ~0 RTT instead of a full trip
+                per_query = search_epoch_batch(
+                    epoch, queries, thresholds=thresholds,
+                    order_by=args.order, limit=args.limit, offset=args.offset,
+                )
+            else:
+                per_query = [search_epoch(
+                    epoch, queries[0], thresholds=thresholds,
+                    order_by=args.order, limit=args.limit, offset=args.offset,
+                )]
+            grouped = [
+                (q, [
+                    {"file_id": r.file_id, "path": r.path, "relevance": r.relevance,
+                     **({"query": q} if multi else {})}
+                    for r in rows
+                ])
+                for q, rows in zip(queries, per_query)
             ]
         else:
-            frag = translate_query(args.query, thresholds=thresholds)
-            rows = search_files(
-                conn, frag.where, frag.params,
-                positive_tags=extract_positive_tag_terms(args.query),
-                thresholds=normalize_thresholds(thresholds),
-                order_by=args.order, limit=args.limit, offset=args.offset,
-            )
-            results = [
-                {"file_id": r.file_id, "path": r.path, "relevance": r.relevance,
-                 "tags": r.tags[:10]}
-                for r in rows
-            ]
+            grouped = []
+            for q in queries:
+                frag = translate_query(q, thresholds=thresholds)
+                rows = search_files(
+                    conn, frag.where, frag.params,
+                    positive_tags=extract_positive_tag_terms(q),
+                    thresholds=normalize_thresholds(thresholds),
+                    order_by=args.order, limit=args.limit, offset=args.offset,
+                )
+                grouped.append((q, [
+                    {"file_id": r.file_id, "path": r.path, "relevance": r.relevance,
+                     "tags": r.tags[:10], **({"query": q} if multi else {})}
+                    for r in rows
+                ]))
+        results = [r for _, rows in grouped for r in rows]
         elapsed = time.perf_counter() - t0
         if args.export:
             out = _export_csv(args.export, results)
             print(f"exported {len(results)} rows to {out}", file=sys.stderr)
-        for r in results:
-            print(f"{r['relevance']:8.3f}  {r['path']}")
+        for q, rows in grouped:
+            if multi:
+                print(f"# query: {q}")
+            for r in rows:
+                print(f"{r['relevance']:8.3f}  {r['path']}")
         ids = [r["file_id"] for r in results]
         if args.show_tags and args.backend == "device" and ids:
             for fid, tags in tags_for_files(conn, ids[: args.limit]).items():
@@ -817,8 +838,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ids", type=int, nargs="+", help="re-tag specific file ids now")
     p.set_defaults(fn=cmd_retag)
 
-    p = sub.add_parser("search", help="tag query search")
-    p.add_argument("query")
+    p = sub.add_parser("search", help="tag query search (multiple queries batch into one dispatch)")
+    p.add_argument("query", nargs="+")
     p.add_argument("--backend", choices=["device", "sql"], default="device")
     p.add_argument("--order", choices=["relevance", "mtime", "path", "id"], default="relevance")
     p.add_argument("--limit", type=int, default=200)

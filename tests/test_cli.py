@@ -50,6 +50,19 @@ def test_index_search_stats_complete(env, capsys):
     assert main([*base, "search", "1girl", "--backend", "sql", "--limit", "2"]) == 0
     assert len(capsys.readouterr().out.splitlines()) == 2
 
+    # multi-query: one process, one batched dispatch; per-query sections
+    # match the single-query rows exactly on both backends
+    assert main([*base, "search", "1girl", "1girl", "--backend", "device"]) == 0
+    out_lines = capsys.readouterr().out.splitlines()
+    assert out_lines.count("# query: 1girl") == 2
+    rows = [l for l in out_lines if l.strip() and not l.startswith("# query:")]
+    assert len(rows) == 2 * len(paths)
+    assert rows[: len(paths)] == rows[len(paths):]
+
+    assert main([*base, "search", "1girl", "1girl", "--backend", "sql", "--limit", "2"]) == 0
+    sql_lines = [l for l in capsys.readouterr().out.splitlines() if not l.startswith("# query:")]
+    assert len(sql_lines) == 4
+
     assert main([*base, "stats"]) == 0
     assert "1girl" in capsys.readouterr().out
 
