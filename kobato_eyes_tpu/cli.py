@@ -704,7 +704,6 @@ def cmd_ann(args) -> int:
     import numpy as np
 
     from kobato_eyes_tpu.db.connection import bootstrap
-    from kobato_eyes_tpu.index.embedder import ImageEmbedder
     from kobato_eyes_tpu.utils.image_io import load_rgb_array
     from kobato_eyes_tpu.utils.paths import get_app_paths
 
@@ -741,11 +740,22 @@ def cmd_ann(args) -> int:
             conn.close()
         return 0
 
-    embedder = ImageEmbedder(
-        preset=idx_cfg.preset, image_size=idx_cfg.image_size,
-        patch_size=idx_cfg.patch_size, embed_dim=idx_cfg.embed_dim,
-        checkpoint_path=idx_cfg.checkpoint,
-    )
+    # Probe/backfill embeddings must use the prep geometry the catalog's
+    # stored vectors were computed with (fused index runs record it in the
+    # meta table) — a plain-prep probe against derived-prep vectors would
+    # silently search a different embedding space.
+    from kobato_eyes_tpu.index.embedder import embedder_from_catalog
+
+    conn = bootstrap(db)
+    try:
+        embedder = embedder_from_catalog(
+            conn,
+            preset=idx_cfg.preset, image_size=idx_cfg.image_size,
+            patch_size=idx_cfg.patch_size, embed_dim=idx_cfg.embed_dim,
+            checkpoint_path=idx_cfg.checkpoint,
+        )
+    finally:
+        conn.close()
 
     if args.build:
         from kobato_eyes_tpu.core.pipeline.embed_stage import load_embeddings

@@ -86,6 +86,14 @@ class IndexSettings(BaseModel):
     image_size: int = 224
     patch_size: int = 32
     checkpoint: Path | None = None
+    # Fuse the embedding forward into the tag stage's device dispatch when
+    # the tagger's prepared geometry allows it (wd14 letterbox at an integer
+    # multiple of image_size): one decode, one upload per batch — the embed
+    # stage's own decode+upload pass was 23% of the cold index wall
+    # (docs/benchmarks.md r5 attribution). The prep geometry vectors were
+    # computed with persists in the catalog meta table; changing it
+    # invalidates stored vectors (db.repository.ensure_embed_prep).
+    fused: bool = True
 
 
 class MeshSettings(BaseModel):

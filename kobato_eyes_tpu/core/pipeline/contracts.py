@@ -22,11 +22,18 @@ class FileRecord:
     touched: bool = False  # size/mtime moved (content may be identical)
     tagged: bool = False
     failed: bool = False
+    embedded: bool = False  # ANN vector stored this run (fused tag+embed)
 
 
 @dataclass(frozen=True)
 class WriteItem:
-    """One file's tagging result bound for the catalog (reference DBItem)."""
+    """One file's tagging result bound for the catalog (reference DBItem).
+
+    ``embedding`` rides along when the tag stage fused the ANN vector into
+    the same device dispatch (core/pipeline/tag_stage.py): during the
+    quiesce window the async writer's EXCLUSIVE connection is the only one
+    allowed to touch the catalog, so vectors travel through the write queue
+    instead of a second connection."""
 
     file_id: int
     tags: list[tuple[str, float, int]]  # (name, score, category)
@@ -34,6 +41,8 @@ class WriteItem:
     height: int | None
     tagger_sig: str
     tagged_at: float
+    embedding: object | None = None  # np.float32 (D,) vector
+    embed_model: str | None = None  # embeddings.model key for the vector
 
 
 @dataclass(frozen=True)

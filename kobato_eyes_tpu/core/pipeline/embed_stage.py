@@ -18,6 +18,7 @@ from typing import Callable, Sequence
 import numpy as np
 
 from kobato_eyes_tpu.core.pipeline.contracts import FileRecord
+from kobato_eyes_tpu.db.repository import upsert_embeddings
 from kobato_eyes_tpu.core.pipeline.loaders import PrefetchLoader
 from kobato_eyes_tpu.core.progress import IndexPhase, IndexProgress, ProgressEmitter
 
@@ -39,17 +40,7 @@ def store_embeddings(
     *,
     model: str = EMBED_MODEL_NAME,
 ) -> None:
-    conn.executemany(
-        """
-        INSERT INTO embeddings (file_id, model, dim, vector) VALUES (?, ?, ?, ?)
-        ON CONFLICT(file_id, model) DO UPDATE SET
-            dim = excluded.dim, vector = excluded.vector
-        """,
-        [
-            (fid, model, int(v.shape[0]), np.asarray(v, np.float32).tobytes())
-            for fid, v in rows
-        ],
-    )
+    upsert_embeddings(conn, rows, model=model)
 
 
 def load_embeddings(
@@ -108,7 +99,10 @@ def missing_embedding_records(
     """Records needing a vector: no row yet, the file's bytes changed (stale
     vectors would silently poison ANN results forever), or the stored row has
     a different dimensionality than the configured embedder (embed_dim config
-    changes re-embed the library instead of stranding mixed dims)."""
+    changes re-embed the library instead of stranding mixed dims). Records
+    whose vector was already stored THIS run by the fused tag+embed path
+    (``FileRecord.embedded``) are excluded — their stored row is fresh even
+    though the file's content changed."""
     ids = [r.file_id for r in records]
     have: set[int] = set()
     for start in range(0, len(ids), 900):
@@ -122,7 +116,10 @@ def missing_embedding_records(
             int(r[0]) for r in rows
             if expected_dim is None or int(r[1]) == expected_dim
         )
-    return [r for r in records if r.file_id not in have or r.content_changed]
+    return [
+        r for r in records
+        if not r.embedded and (r.file_id not in have or r.content_changed)
+    ]
 
 
 class EmbedStage:
@@ -134,13 +131,13 @@ class EmbedStage:
         *,
         batch_size: int = 32,
         io_workers: int = 8,
-        model: str = EMBED_MODEL_NAME,
+        model: str | None = None,
         is_cancelled: Callable[[], bool] | None = None,
     ) -> None:
         self._embedder = embedder
         self._batch_size = batch_size
         self._io_workers = io_workers
-        self._model = model
+        self._model = model or getattr(embedder, "model_key", EMBED_MODEL_NAME)
         self._is_cancelled = is_cancelled or (lambda: False)
 
     def run(

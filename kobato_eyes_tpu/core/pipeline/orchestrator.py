@@ -79,6 +79,31 @@ class IndexPipeline:
     def tagger_sig(self) -> str:
         return self._tagger_sig
 
+    def _build_embedder(self):
+        """Index-side embedder; derived prep when the tagger geometry allows
+        fusion (index.fused). Query-side code must instead use
+        ``index.embedder.embedder_from_catalog`` so probe images get the
+        prep the stored vectors were actually computed with."""
+        from kobato_eyes_tpu.index.embedder import ImageEmbedder
+
+        idx = self._settings.index
+        derive = None
+        if idx.fused:
+            spec = getattr(self._tagger, "spec", None)
+            size = int(getattr(self._tagger, "input_size", 0) or 0)
+            if (
+                spec is not None
+                and getattr(spec, "mode", None) == "wd14"
+                and size >= idx.image_size
+                and size % idx.image_size == 0
+            ):
+                derive = size
+        return ImageEmbedder(
+            preset=idx.preset, image_size=idx.image_size,
+            patch_size=idx.patch_size, embed_dim=idx.embed_dim,
+            checkpoint_path=idx.checkpoint, derive_from=derive,
+        )
+
     def run(self) -> IndexStats:
         t0 = time.perf_counter()
         stats = IndexStats()
@@ -107,6 +132,36 @@ class IndexPipeline:
             conn.close()
         walls["scan"] = round(time.perf_counter() - t0, 3)
 
+        # EMBED SETUP — before tagging, so vectors fuse into tag dispatches.
+        # When the embedder's derived prep matches the tagger's prepared
+        # geometry (wd14 letterbox, integer multiple of image_size), the tag
+        # stage chains the embedding forward onto the SAME device pixels:
+        # one decode, one upload per batch. The residual embed stage below
+        # covers records needing vectors but not tagging.
+        embedder = None
+        embed_need: set[int] = set()
+        if self._settings.index.enabled and not self._is_cancelled():
+            from kobato_eyes_tpu.core.pipeline.embed_stage import missing_embedding_records
+            from kobato_eyes_tpu.db.repository import ensure_embed_prep
+
+            embedder = self._build_embedder()
+            conn = bootstrap(self._db_path)
+            try:
+                if ensure_embed_prep(conn, embedder.model_key, embedder.prep_key):
+                    logger.info(
+                        "embedding prep changed to %s; stored vectors invalidated",
+                        embedder.prep_key,
+                    )
+                embed_need = {
+                    r.file_id
+                    for r in missing_embedding_records(
+                        conn, scan.records,
+                        model=embedder.model_key, expected_dim=embedder.embed_dim,
+                    )
+                }
+            finally:
+                conn.close()
+
         # TAG + WRITE under the quiesce gate (exclusive writer phase).
         tag_result = TagStageResult()
         t_stage = time.perf_counter()
@@ -132,6 +187,8 @@ class IndexPipeline:
                         input_cache_dir=cache_dir,
                         is_cancelled=self._is_cancelled,
                         pipeline_depth=self._settings.pipeline.pipeline_depth,
+                        embedder=embedder,
+                        embed_need=embed_need,
                     ).run(scan.records, writer, self._progress)
                 finally:
                     self._progress.phase(IndexPhase.WRITE)
@@ -145,18 +202,14 @@ class IndexPipeline:
         # decode/prepare/queue time the in-flight window could not hide
         stats.extra["tag_infer_s"] = round(tag_result.infer_seconds, 3)
 
-        # EMBED (optional ANN vector path; reference's src/index activation)
+        # EMBED residual (optional ANN vector path; reference's src/index
+        # activation): whatever the fused tag+embed path did not cover —
+        # records needing a vector but not tagging, or batches the fusion
+        # downgraded on failure.
         t_stage = time.perf_counter()
-        if self._settings.index.enabled and not self._is_cancelled():
+        if embedder is not None and not self._is_cancelled():
             from kobato_eyes_tpu.core.pipeline.embed_stage import EmbedStage
-            from kobato_eyes_tpu.index.embedder import ImageEmbedder
 
-            idx_cfg = self._settings.index
-            embedder = ImageEmbedder(
-                preset=idx_cfg.preset, image_size=idx_cfg.image_size,
-                patch_size=idx_cfg.patch_size, embed_dim=idx_cfg.embed_dim,
-                checkpoint_path=idx_cfg.checkpoint,
-            )
             conn = bootstrap(self._db_path)
             try:
                 embed_result = EmbedStage(
@@ -165,7 +218,8 @@ class IndexPipeline:
                     io_workers=self._settings.pipeline.io_workers,
                     is_cancelled=self._is_cancelled,
                 ).run(conn, scan.records, self._progress)
-                stats.extra["embedded"] = embed_result.embedded
+                stats.extra["embedded_fused"] = tag_result.embedded
+                stats.extra["embedded"] = embed_result.embedded + tag_result.embedded
             finally:
                 conn.close()
             walls["embed"] = round(time.perf_counter() - t_stage, 3)

@@ -38,6 +38,7 @@ class TagStageResult:
     infer_seconds: float = 0.0
     batches: int = 0
     failed_ids: list[int] = field(default_factory=list)
+    embedded: int = 0  # ANN vectors fused into tag dispatches
 
 
 class TagStage:
@@ -52,6 +53,8 @@ class TagStage:
         input_cache_dir: str | None = None,
         is_cancelled: Callable[[], bool] | None = None,
         pipeline_depth: int = 3,
+        embedder=None,  # index.embedder.ImageEmbedder in derived-prep mode
+        embed_need: set[int] | None = None,
     ) -> None:
         self._tagger = tagger
         self._tagger_sig = tagger_sig
@@ -61,6 +64,8 @@ class TagStage:
         self._input_cache_dir = input_cache_dir
         self._is_cancelled = is_cancelled or (lambda: False)
         self._pipeline_depth = max(1, int(pipeline_depth))
+        self._embedder = embedder
+        self._embed_need = embed_need or set()
 
     def run(
         self,
@@ -105,6 +110,23 @@ class TagStage:
             and hasattr(self._tagger, "dispatch_batch_prepared")
             and hasattr(self._tagger, "complete_batch_prepared")
         )
+        # Fused embedding: when the embedder's derived prep IS the tagger's
+        # prepared geometry, device_put the batch once and chain BOTH the tag
+        # forward and the embedding forward on the same device pixels — the
+        # embed stage's second decode pass and second upload disappear
+        # (cold-wall attribution, docs/benchmarks.md r5). Failure policy: any
+        # fused-embed error downgrades that batch to tags-only; the residual
+        # embed stage re-covers whatever has no stored vector.
+        spec = getattr(self._tagger, "spec", None)
+        can_fuse = (
+            can_pipeline
+            and self._embedder is not None
+            and bool(self._embed_need)
+            and spec is not None
+            and getattr(self._embedder, "accepts_prepared", lambda *_: False)(
+                self._tagger.input_size, spec.mode
+            )
+        )
         from collections import deque
 
         inflight: deque = deque()
@@ -118,8 +140,22 @@ class TagStage:
                 progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
                 continue
             t0 = time.perf_counter()
+            pixels = batch.pixels
+            emb_pending = None
+            if can_fuse and any(r.file_id in self._embed_need for r in batch.records):
+                try:
+                    import jax
+
+                    pixels = jax.device_put(batch.pixels)
+                    emb_pending = self._embedder.dispatch_batch_prepared(pixels)
+                except Exception:  # noqa: BLE001
+                    logger.warning(
+                        "fused embed dispatch failed; batch downgraded to tags-only",
+                        exc_info=True,
+                    )
+                    emb_pending = None
             try:
-                handle = self._tagger.dispatch_batch_prepared(batch.pixels)
+                handle = self._tagger.dispatch_batch_prepared(pixels)
             except Exception:  # noqa: BLE001 — tracing/shape errors
                 logger.warning("dispatch failed; falling back to sync retry")
                 self._infer_with_retry(batch, sink, result)
@@ -127,12 +163,12 @@ class TagStage:
                 progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
                 continue
             result.infer_seconds += time.perf_counter() - t0
-            inflight.append((batch, handle))
+            inflight.append((batch, handle, emb_pending))
             if len(inflight) >= self._pipeline_depth:
-                done += self._complete_pipelined(*inflight.popleft(), sink, result)
+                done += self._complete_pipelined(*inflight.popleft(), sink=sink, result=result)
                 progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
         while inflight and not self._is_cancelled():
-            done += self._complete_pipelined(*inflight.popleft(), sink, result)
+            done += self._complete_pipelined(*inflight.popleft(), sink=sink, result=result)
             progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
         # decode failures discovered by the loader
         for r in todo:
@@ -147,8 +183,8 @@ class TagStage:
         return result
 
     def _complete_pipelined(
-        self, batch: PreparedBatch, handle: tuple, sink: WriteSink,
-        result: TagStageResult,
+        self, batch: PreparedBatch, handle: tuple, emb_pending=None, *,
+        sink: WriteSink, result: TagStageResult,
     ) -> int:
         """Fetch one in-flight batch; device failures re-run it through the
         synchronous halving retry (same terminal behavior as the sync path)."""
@@ -164,9 +200,27 @@ class TagStage:
             )
             self._infer_with_retry(batch, sink, result)
             return len(batch.records)
+        vecs = model_key = None
+        if emb_pending is not None:
+            try:
+                t0 = time.perf_counter()
+                vecs = self._embedder.complete_batch_prepared(emb_pending)
+                result.infer_seconds += time.perf_counter() - t0
+                model_key = getattr(self._embedder, "model_key", None)
+            except Exception:  # noqa: BLE001
+                logger.warning(
+                    "fused embed completion failed; batch downgraded to tags-only",
+                    exc_info=True,
+                )
+                vecs = None
         now = time.time()
-        for record, output in zip(batch.records, outputs):
-            sink.put(self._to_write_item(record, output, now))
+        for i, (record, output) in enumerate(zip(batch.records, outputs)):
+            emb = None
+            if vecs is not None and record.file_id in self._embed_need:
+                emb = np.asarray(vecs[i], np.float32)
+                record.embedded = True
+                result.embedded += 1
+            sink.put(self._to_write_item(record, output, now, embedding=emb, embed_model=model_key))
             record.tagged = True
             result.tagged += 1
         return len(batch.records)
@@ -206,7 +260,10 @@ class TagStage:
             record.tagged = True
             result.tagged += 1
 
-    def _to_write_item(self, record: FileRecord, output: TagResult, now: float) -> WriteItem:
+    def _to_write_item(
+        self, record: FileRecord, output: TagResult, now: float,
+        embedding: np.ndarray | None = None, embed_model: str | None = None,
+    ) -> WriteItem:
         # Duplicate names keep the max score (reference tag_stage.py:283-292).
         merged: dict[str, tuple[float, int]] = {}
         for t in output.tags:
@@ -220,6 +277,8 @@ class TagStage:
             height=record.height,
             tagger_sig=self._tagger_sig,
             tagged_at=now,
+            embedding=embedding,
+            embed_model=embed_model if embedding is not None else None,
         )
 
 

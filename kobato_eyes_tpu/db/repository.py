@@ -420,6 +420,83 @@ def missing_signature_ids(conn: sqlite3.Connection) -> list[tuple[int, str]]:
 
 
 # ---------------------------------------------------------------------------
+# embeddings + catalog meta
+# ---------------------------------------------------------------------------
+
+
+def upsert_embeddings(
+    conn: sqlite3.Connection,
+    rows: Iterable[tuple[int, "object"]],
+    *,
+    model: str,
+) -> None:
+    """(file_id, float32 vector) bulk upsert for one embedding model.
+
+    Shared by the embed stage and the async catalog writer (fused tag+embed
+    batches carry their vectors through the write queue, since the writer's
+    EXCLUSIVE connection owns the catalog during the quiesce window)."""
+    import numpy as np
+
+    conn.executemany(
+        """
+        INSERT INTO embeddings (file_id, model, dim, vector) VALUES (?, ?, ?, ?)
+        ON CONFLICT(file_id, model) DO UPDATE SET
+            dim = excluded.dim, vector = excluded.vector
+        """,
+        [
+            (int(fid), model, int(np.asarray(v).shape[0]),
+             np.asarray(v, np.float32).tobytes())
+            for fid, v in rows
+        ],
+    )
+
+
+def get_meta(conn: sqlite3.Connection, key: str) -> str | None:
+    row = conn.execute("SELECT value FROM meta WHERE key = ?", (key,)).fetchone()
+    return None if row is None else str(row[0])
+
+
+def set_meta(conn: sqlite3.Connection, key: str, value: str) -> None:
+    conn.execute(
+        "INSERT INTO meta (key, value) VALUES (?, ?) "
+        "ON CONFLICT(key) DO UPDATE SET value = excluded.value",
+        (key, value),
+    )
+
+
+def ensure_embed_prep(conn: sqlite3.Connection, model: str, prep_key: str) -> bool:
+    """Pin the preprocessing geometry stored vectors were computed with.
+
+    Vectors computed under a different prep are NOT comparable (an ANN
+    search would silently mix spaces), so a prep change invalidates the
+    model's rows — exactly like an embed_dim change does via the dim check.
+    Returns True when stale rows were dropped. A catalog with vectors but
+    no recorded prep predates this marker: its rows are treated as current
+    IF the incoming prep is the plain (non-derived) one, else dropped."""
+    meta_key = f"embed_prep:{model}"
+    recorded = get_meta(conn, meta_key)
+    stale = False
+    with conn:
+        if recorded is None:
+            has_rows = conn.execute(
+                "SELECT 1 FROM embeddings WHERE model = ? LIMIT 1", (model,)
+            ).fetchone()
+            if has_rows and prep_key.startswith("lb"):
+                conn.execute("DELETE FROM embeddings WHERE model = ?", (model,))
+                stale = True
+        elif recorded != prep_key:
+            conn.execute("DELETE FROM embeddings WHERE model = ?", (model,))
+            stale = True
+        set_meta(conn, meta_key, prep_key)
+    return stale
+
+
+def get_embed_prep(conn: sqlite3.Connection, model: str) -> str | None:
+    """Recorded prep geometry for a model's stored vectors (None = plain)."""
+    return get_meta(conn, f"embed_prep:{model}")
+
+
+# ---------------------------------------------------------------------------
 # thresholds
 # ---------------------------------------------------------------------------
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import sqlite3
 
-CURRENT_SCHEMA_VERSION = 1
+CURRENT_SCHEMA_VERSION = 2
 
 SCHEMA_STATEMENTS: tuple[str, ...] = (
     """
@@ -67,6 +67,12 @@ SCHEMA_STATEMENTS: tuple[str, ...] = (
         PRIMARY KEY (file_id, model)
     )
     """,
+    """
+    CREATE TABLE IF NOT EXISTS meta (
+        key TEXT PRIMARY KEY,
+        value TEXT NOT NULL
+    ) WITHOUT ROWID
+    """,
     "CREATE INDEX IF NOT EXISTS idx_files_path ON files(path)",
     "CREATE INDEX IF NOT EXISTS idx_files_present ON files(is_present)",
     "CREATE INDEX IF NOT EXISTS idx_file_tags_tag ON file_tags(tag_id)",
@@ -74,7 +80,18 @@ SCHEMA_STATEMENTS: tuple[str, ...] = (
 )
 
 # version -> statements applied when upgrading *to* that version.
-MIGRATIONS: dict[int, tuple[str, ...]] = {}
+MIGRATIONS: dict[int, tuple[str, ...]] = {
+    # v2: catalog-level key/value provenance (embedding preprocess geometry,
+    # so query-time embedders reconstruct the exact prep the index used)
+    2: (
+        """
+        CREATE TABLE IF NOT EXISTS meta (
+            key TEXT PRIMARY KEY,
+            value TEXT NOT NULL
+        ) WITHOUT ROWID
+        """,
+    ),
+}
 
 
 def ensure_schema(conn: sqlite3.Connection) -> None:

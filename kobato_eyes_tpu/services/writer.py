@@ -18,7 +18,7 @@ from pathlib import Path
 
 from kobato_eyes_tpu.core.pipeline.contracts import WriteFlush, WriteItem, WriteStop
 from kobato_eyes_tpu.db.connection import connect
-from kobato_eyes_tpu.db.repository import TaggingItem, write_tagging_batch
+from kobato_eyes_tpu.db.repository import TaggingItem, upsert_embeddings, write_tagging_batch
 
 logger = logging.getLogger(__name__)
 
@@ -48,6 +48,7 @@ class CatalogWriter:
         self._failure: BaseException | None = None
         self._thread: threading.Thread | None = None
         self.items_written = 0
+        self.embeddings_written = 0
         self.flushes = 0
 
     # -- lifecycle ---------------------------------------------------------
@@ -207,6 +208,16 @@ class CatalogWriter:
             for w in buffer
         ]
         write_tagging_batch(conn, items, tag_cache=self._tag_cache)
+        # fused tag+embed batches: vectors persist in the same flush
+        by_model: dict[str, list[tuple[int, object]]] = {}
+        for w in buffer:
+            if w.embedding is not None and w.embed_model:
+                by_model.setdefault(w.embed_model, []).append((w.file_id, w.embedding))
+        if by_model:
+            with conn:
+                for model, rows in by_model.items():
+                    upsert_embeddings(conn, rows, model=model)
+                    self.embeddings_written += len(rows)
         self.items_written += len(buffer)
         self.flushes += 1
         logger.debug("writer flush: %d items in %.3fs", len(buffer), time.perf_counter() - t0)
