@@ -121,6 +121,13 @@ class PipelineSettings(BaseModel):
     # prepared-tensor cache (reference KE_TAGGER_INPUT_CACHE, loaders.py:205-225)
     tagger_input_cache: bool = False
     input_cache_dir: Path | None = None
+    # Fuse duplicate-signature (pHash/dHash) computation into the tag stage:
+    # files being tagged that lack signature rows get them from the SAME
+    # decode, so `ket dup` after `ket index` needs no second decode pass
+    # over the library (the reference recomputes signatures in a separate
+    # fan-out, src/core/fastsig.py). Cache-hit and downgraded batches fall
+    # back to the standalone compute_signatures lane.
+    inline_signatures: bool = True
 
     @field_validator("allow_exts", mode="before")
     @classmethod

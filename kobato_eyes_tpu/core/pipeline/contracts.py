@@ -23,17 +23,19 @@ class FileRecord:
     tagged: bool = False
     failed: bool = False
     embedded: bool = False  # ANN vector stored this run (fused tag+embed)
+    signed: bool = False  # pHash/dHash stored this run (fused tag+sig)
 
 
 @dataclass(frozen=True)
 class WriteItem:
     """One file's tagging result bound for the catalog (reference DBItem).
 
-    ``embedding`` rides along when the tag stage fused the ANN vector into
-    the same device dispatch (core/pipeline/tag_stage.py): during the
-    quiesce window the async writer's EXCLUSIVE connection is the only one
-    allowed to touch the catalog, so vectors travel through the write queue
-    instead of a second connection."""
+    ``embedding`` (the ANN vector) and ``phash``/``dhash`` (the duplicate
+    signatures) ride along when the tag stage fused those forwards into the
+    same device dispatch (core/pipeline/tag_stage.py): during the quiesce
+    window the async writer's EXCLUSIVE connection is the only one allowed
+    to touch the catalog, so they travel through the write queue instead of
+    a second connection."""
 
     file_id: int
     tags: list[tuple[str, float, int]]  # (name, score, category)
@@ -43,6 +45,8 @@ class WriteItem:
     tagged_at: float
     embedding: object | None = None  # np.float32 (D,) vector
     embed_model: str | None = None  # embeddings.model key for the vector
+    phash: int | None = None  # signed-64 pHash (fused tag+sig)
+    dhash: int | None = None  # signed-64 dHash (fused tag+sig)
 
 
 @dataclass(frozen=True)

@@ -60,6 +60,10 @@ class PreparedBatch:
     records: list[FileRecord]
     pixels: np.ndarray  # (B, S, S, 3) uint8
     sizes: list[tuple[int, int]]  # original (width, height) per record
+    # per-record (g32, g98) grayscale hash tiles, None where not computed
+    # (record not in sig_need, or served from the prepared-input cache which
+    # stores post-letterbox pixels only) — fused tag+sig lane
+    grays: list[tuple[np.ndarray, np.ndarray] | None] = field(default_factory=list)
 
 
 _SENTINEL = object()
@@ -129,6 +133,7 @@ class PrefetchLoader:
         io_workers: int = 8,
         cache: PreparedInputCache | None = None,
         is_cancelled: Callable[[], bool] | None = None,
+        sig_need: set[int] | None = None,
     ) -> None:
         # (parent dir, size) ordering for IO locality.
         self._records = sorted(records, key=lambda r: (str(r.path.parent), r.size))
@@ -138,31 +143,47 @@ class PrefetchLoader:
         self._io_workers = io_workers
         self._cache = cache
         self._is_cancelled = is_cancelled or (lambda: False)
+        # files whose duplicate signatures should be computed from the same
+        # decode (fused tag+sig): only possible on a fresh decode — cache
+        # hits carry prepared pixels, not the original-geometry image
+        self._sig_need = sig_need or set()
         self._error: BaseException | None = None
         self._abandoned = threading.Event()
         self.metrics = LoaderMetrics()
         self._thread = threading.Thread(target=self._producer, name="prefetch-loader", daemon=True)
 
-    def _prepare_one(self, record: FileRecord) -> tuple[FileRecord, np.ndarray | None]:
-        """Decode + single-image prepare (cache-aware): -> (S, S, 3) uint8."""
+    def _prepare_one(
+        self, record: FileRecord
+    ) -> tuple[FileRecord, np.ndarray | None, tuple[np.ndarray, np.ndarray] | None]:
+        """Decode + single-image prepare (cache-aware): -> (S, S, 3) uint8,
+        plus the (g32, g98) hash tiles when the record needs signatures and
+        the image was freshly decoded."""
         if self._cache is not None:
             hit = self._cache.get(record)
             if hit is not None:
                 pixels, w, h = hit
                 record.width, record.height = w, h
-                return record, pixels
+                return record, pixels, None
         t0 = time.perf_counter()
         arr = load_rgb_array(record.path)
         if arr is None:
             self.metrics.failed += 1
             record.failed = True
-            return record, None
+            return record, None, None
         self.metrics.note_decode(time.perf_counter() - t0, str(record.path))
         record.width, record.height = arr.shape[1], arr.shape[0]
+        grays = None
+        if record.file_id in self._sig_need:
+            from kobato_eyes_tpu.sig.signatures import gray_pair_from_rgb
+
+            try:
+                grays = gray_pair_from_rgb(arr)
+            except Exception:  # noqa: BLE001 — best-effort; standalone lane covers
+                logger.warning("hash-tile prep failed for %s", record.path, exc_info=True)
         pixels = self._prepare([arr])[0]
         if self._cache is not None:
             self._cache.put(record, pixels, record.width, record.height)
-        return record, pixels
+        return record, pixels, grays
 
     def _producer(self) -> None:
         try:
@@ -172,14 +193,15 @@ class PrefetchLoader:
                         break
                     chunk = self._records[start : start + self._batch_size]
                     decoded = list(pool.map(self._prepare_one, chunk))
-                    ok = [(r, a) for r, a in decoded if a is not None]
+                    ok = [(r, a, g) for r, a, g in decoded if a is not None]
                     if not ok:
                         continue
-                    pixels = np.stack([a for _, a in ok])
+                    pixels = np.stack([a for _, a, _ in ok])
                     batch = PreparedBatch(
-                        records=[r for r, _ in ok],
+                        records=[r for r, _, _ in ok],
                         pixels=pixels,
-                        sizes=[(r.width or 0, r.height or 0) for r, _ in ok],
+                        sizes=[(r.width or 0, r.height or 0) for r, _, _ in ok],
+                        grays=[g for _, _, g in ok],
                     )
                     t0 = time.perf_counter()
                     # bounded put in slices: an abandoned consumer (exception

@@ -162,6 +162,24 @@ class IndexPipeline:
             finally:
                 conn.close()
 
+        # SIG SETUP — files being tagged that lack duplicate signatures get
+        # pHash/dHash fused into the same decode + dispatch (the words ride
+        # the WriteItems); `ket dup` then finds no missing signatures and
+        # skips its own decode pass. Content-changed files refresh theirs.
+        sig_need: set[int] = set()
+        if self._settings.pipeline.inline_signatures and not self._is_cancelled():
+            from kobato_eyes_tpu.db.repository import missing_signature_ids
+
+            conn = bootstrap(self._db_path)
+            try:
+                missing = {fid for fid, _ in missing_signature_ids(conn)}
+            finally:
+                conn.close()
+            sig_need = {
+                r.file_id for r in scan.records
+                if r.file_id in missing or r.content_changed
+            }
+
         # TAG + WRITE under the quiesce gate (exclusive writer phase).
         tag_result = TagStageResult()
         t_stage = time.perf_counter()
@@ -189,6 +207,7 @@ class IndexPipeline:
                         pipeline_depth=self._settings.pipeline.pipeline_depth,
                         embedder=embedder,
                         embed_need=embed_need,
+                        sig_need=sig_need,
                     ).run(scan.records, writer, self._progress)
                 finally:
                     self._progress.phase(IndexPhase.WRITE)
@@ -201,6 +220,7 @@ class IndexPipeline:
         # device dispatch+fetch inside the tag wall; the remainder is host
         # decode/prepare/queue time the in-flight window could not hide
         stats.extra["tag_infer_s"] = round(tag_result.infer_seconds, 3)
+        stats.extra["signatures_fused"] = tag_result.signed
 
         # EMBED residual (optional ANN vector path; reference's src/index
         # activation): whatever the fused tag+embed path did not cover —

@@ -39,6 +39,7 @@ class TagStageResult:
     batches: int = 0
     failed_ids: list[int] = field(default_factory=list)
     embedded: int = 0  # ANN vectors fused into tag dispatches
+    signed: int = 0  # pHash/dHash signatures fused into tag dispatches
 
 
 class TagStage:
@@ -55,6 +56,7 @@ class TagStage:
         pipeline_depth: int = 3,
         embedder=None,  # index.embedder.ImageEmbedder in derived-prep mode
         embed_need: set[int] | None = None,
+        sig_need: set[int] | None = None,
     ) -> None:
         self._tagger = tagger
         self._tagger_sig = tagger_sig
@@ -66,6 +68,13 @@ class TagStage:
         self._pipeline_depth = max(1, int(pipeline_depth))
         self._embedder = embedder
         self._embed_need = embed_need or set()
+        # Fused signatures (tag+sig): files whose pHash/dHash should be
+        # computed from the tag stage's decode — the loader produces the
+        # grayscale hash tiles, this stage chains the hash kernels onto the
+        # batch dispatch, and the words ride the WriteItems. Any failure is
+        # a downgrade: the standalone compute_signatures lane (ket dup)
+        # covers whatever has no signature row.
+        self._sig_need = sig_need or set()
 
     def run(
         self,
@@ -96,6 +105,7 @@ class TagStage:
             io_workers=self._io_workers,
             cache=cache,
             is_cancelled=self._is_cancelled,
+            sig_need=self._sig_need,
         )
         # Bounded in-flight pipeline: through the relay, a per-batch sync
         # costs upload RTT + block + fetch (~1 s/batch measured vs 50 ms of
@@ -163,7 +173,8 @@ class TagStage:
                 progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
                 continue
             result.infer_seconds += time.perf_counter() - t0
-            inflight.append((batch, handle, emb_pending))
+            sig_pending = self._sig_dispatch(batch)
+            inflight.append((batch, handle, emb_pending, sig_pending))
             if len(inflight) >= self._pipeline_depth:
                 done += self._complete_pipelined(*inflight.popleft(), sink=sink, result=result)
                 progress.emit(IndexProgress(IndexPhase.TAG, done, len(todo)))
@@ -182,8 +193,39 @@ class TagStage:
         )
         return result
 
+    def _sig_dispatch(self, batch: PreparedBatch):
+        """Queue the pHash/dHash kernels for the batch's hash tiles (fused
+        tag+sig) WITHOUT syncing; returns (indices, pending) or None."""
+        idxs = [i for i, g in enumerate(batch.grays) if g is not None]
+        if not idxs:
+            return None
+        try:
+            from kobato_eyes_tpu.sig.signatures import dispatch_hash_batch
+
+            g32 = np.stack([batch.grays[i][0] for i in idxs])
+            g98 = np.stack([batch.grays[i][1] for i in idxs])
+            return idxs, dispatch_hash_batch(g32, g98)
+        except Exception:  # noqa: BLE001 — standalone signature lane covers
+            logger.warning("fused sig dispatch failed; batch downgraded", exc_info=True)
+            return None
+
+    def _sig_complete(self, pending) -> dict[int, tuple[int, int]]:
+        """Fetch a dispatched hash pair -> {batch index: (phash, dhash)}."""
+        if pending is None:
+            return {}
+        idxs, handles = pending
+        try:
+            from kobato_eyes_tpu.sig.signatures import complete_hash_batch
+
+            ph, dh = complete_hash_batch(handles)
+            return {i: (p, d) for i, p, d in zip(idxs, ph, dh)}
+        except Exception:  # noqa: BLE001 — standalone signature lane covers
+            logger.warning("fused sig completion failed; batch downgraded", exc_info=True)
+            return {}
+
     def _complete_pipelined(
-        self, batch: PreparedBatch, handle: tuple, emb_pending=None, *,
+        self, batch: PreparedBatch, handle: tuple, emb_pending=None,
+        sig_pending=None, *,
         sink: WriteSink, result: TagStageResult,
     ) -> int:
         """Fetch one in-flight batch; device failures re-run it through the
@@ -213,6 +255,7 @@ class TagStage:
                     exc_info=True,
                 )
                 vecs = None
+        sigs = self._sig_complete(sig_pending)
         now = time.time()
         for i, (record, output) in enumerate(zip(batch.records, outputs)):
             emb = None
@@ -220,7 +263,13 @@ class TagStage:
                 emb = np.asarray(vecs[i], np.float32)
                 record.embedded = True
                 result.embedded += 1
-            sink.put(self._to_write_item(record, output, now, embedding=emb, embed_model=model_key))
+            sig = sigs.get(i)
+            if sig is not None:
+                record.signed = True
+                result.signed += 1
+            sink.put(self._to_write_item(
+                record, output, now, embedding=emb, embed_model=model_key, sig=sig,
+            ))
             record.tagged = True
             result.tagged += 1
         return len(batch.records)
@@ -250,19 +299,27 @@ class TagStage:
                     records=batch.records[lo:hi],
                     pixels=batch.pixels[lo:hi],
                     sizes=batch.sizes[lo:hi],
+                    grays=batch.grays[lo:hi] if batch.grays else [],
                 )
                 self._infer_with_retry(sub, sink, result)
             return
 
+        # fused sigs on the sync path: dispatch + complete back-to-back
+        sigs = self._sig_complete(self._sig_dispatch(batch))
         now = time.time()
-        for record, output in zip(batch.records, outputs):
-            sink.put(self._to_write_item(record, output, now))
+        for i, (record, output) in enumerate(zip(batch.records, outputs)):
+            sig = sigs.get(i)
+            if sig is not None:
+                record.signed = True
+                result.signed += 1
+            sink.put(self._to_write_item(record, output, now, sig=sig))
             record.tagged = True
             result.tagged += 1
 
     def _to_write_item(
         self, record: FileRecord, output: TagResult, now: float,
         embedding: np.ndarray | None = None, embed_model: str | None = None,
+        sig: tuple[int, int] | None = None,
     ) -> WriteItem:
         # Duplicate names keep the max score (reference tag_stage.py:283-292).
         merged: dict[str, tuple[float, int]] = {}
@@ -279,6 +336,8 @@ class TagStage:
             tagged_at=now,
             embedding=embedding,
             embed_model=embed_model if embedding is not None else None,
+            phash=sig[0] if sig is not None else None,
+            dhash=sig[1] if sig is not None else None,
         )
 
 

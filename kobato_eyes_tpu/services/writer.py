@@ -18,7 +18,12 @@ from pathlib import Path
 
 from kobato_eyes_tpu.core.pipeline.contracts import WriteFlush, WriteItem, WriteStop
 from kobato_eyes_tpu.db.connection import connect
-from kobato_eyes_tpu.db.repository import TaggingItem, upsert_embeddings, write_tagging_batch
+from kobato_eyes_tpu.db.repository import (
+    TaggingItem,
+    upsert_embeddings,
+    upsert_signatures,
+    write_tagging_batch,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -49,6 +54,7 @@ class CatalogWriter:
         self._thread: threading.Thread | None = None
         self.items_written = 0
         self.embeddings_written = 0
+        self.signatures_written = 0
         self.flushes = 0
 
     # -- lifecycle ---------------------------------------------------------
@@ -218,6 +224,14 @@ class CatalogWriter:
                 for model, rows in by_model.items():
                     upsert_embeddings(conn, rows, model=model)
                     self.embeddings_written += len(rows)
+        # fused tag+sig batches: duplicate signatures persist in the same flush
+        sig_rows = [
+            (w.file_id, w.phash, w.dhash) for w in buffer if w.phash is not None
+        ]
+        if sig_rows:
+            with conn:
+                upsert_signatures(conn, sig_rows)
+            self.signatures_written += len(sig_rows)
         self.items_written += len(buffer)
         self.flushes += 1
         logger.debug("writer flush: %d items in %.3fs", len(buffer), time.perf_counter() - t0)

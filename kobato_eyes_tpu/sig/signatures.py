@@ -66,6 +66,43 @@ def dhash_image(image: Image.Image) -> int:
     return to_signed64(int(u32pair_to_u64(dh)[0]))
 
 
+# -- fused-lane split (dispatch/complete) -----------------------------------
+# The index pipeline's tag stage chains signature hashing onto each batch's
+# already-decoded pixels (core/pipeline/tag_stage.py): dispatch queues the
+# two device kernels WITHOUT syncing so the bounded in-flight window covers
+# them, complete fetches both words in one device_get. Same kernels as the
+# standalone lane below => fused hashes are bit-identical by construction.
+
+
+def gray_pair_from_rgb(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decoded (H, W, 3) uint8 RGB -> the (32,32) and (8,9) float32 grayscale
+    tiles the hash kernels consume. PIL round-trip keeps the ITU-R 601-2
+    grayscale + LANCZOS front end identical to ``_decode_one``."""
+    img = Image.fromarray(arr)
+    return (
+        gray_resized(img, (32, 32), _LANCZOS),
+        gray_resized(img, (9, 8), _LANCZOS),
+    )
+
+
+def dispatch_hash_batch(g32: np.ndarray, g98: np.ndarray) -> tuple:
+    """Queue pHash + dHash device kernels without syncing."""
+    return phash_batch(g32), dhash_batch(g98)
+
+
+def complete_hash_batch(pending: tuple) -> tuple[list[int], list[int]]:
+    """Fetch a dispatched hash pair -> (phash, dhash) signed-64 lists."""
+    import jax
+
+    ph_pairs, dh_pairs = jax.device_get(pending)
+    ph = u32pair_to_u64(np.asarray(ph_pairs))
+    dh = u32pair_to_u64(np.asarray(dh_pairs))
+    return (
+        [to_signed64(int(v)) for v in ph],
+        [to_signed64(int(v)) for v in dh],
+    )
+
+
 def compute_signatures(
     items: Iterable[tuple[int, str | Path]],
     *,

@@ -81,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--cached-retag", action="store_true",
                         help="after indexing, force-retag twice with the "
                              "prepared-input cache (cold fill + warm timed)")
+    parser.add_argument("--no-fused-embed", action="store_true",
+                        help="disable the fused tag+embed dispatch (A/B lane: "
+                             "the embed stage decodes+uploads on its own)")
     args = parser.parse_args(argv)
 
     work = Path(args.workdir)
@@ -117,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         index=IndexSettings(
             enabled=True, preset="tiny", image_size=64, patch_size=16,
-            embed_dim=64,
+            embed_dim=64, fused=not args.no_fused_embed,
         ),
     )
     tagger = WD14Tagger(
@@ -136,7 +139,9 @@ def main(argv: list[str] | None = None) -> int:
     phases["index_stage_walls"] = stats.extra.get("stage_walls", {})
     phases["index_tag_infer_s"] = stats.extra.get("tag_infer_s")
     checks["indexed"] = {"scanned": stats.scanned, "tagged": stats.tagged,
-                         "written": stats.written, "epoch": stats.epoch_version}
+                         "written": stats.written, "epoch": stats.epoch_version,
+                         "embedded_fused": stats.extra.get("embedded_fused"),
+                         "embedded": stats.extra.get("embedded")}
     assert stats.scanned == info["n"], (stats.scanned, info["n"])
     assert stats.tagged == stats.written
     phases["index_imgs_per_s"] = round(info["n"] / phases["index_s"], 1)
