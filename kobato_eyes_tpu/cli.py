@@ -171,6 +171,46 @@ def cmd_search(args) -> int:
         if args.export:
             out = _export_csv(args.export, results)
             print(f"exported {len(results)} rows to {out}", file=sys.stderr)
+        if args.copy or args.copy_to:
+            # "Copy results…" (reference ui/tags_db.py:36-126): copy the FULL
+            # hit set of each query — not the displayed page — into a
+            # per-query folder; collisions suffix _2/_3…, missing sources
+            # count as failures without aborting the batch.
+            from kobato_eyes_tpu.utils.export import (
+                copy_results, make_export_dir, sanitize_for_folder,
+            )
+
+            sr_root = get_app_paths(
+                args.data_dir or settings.data_dir
+            ).cache_dir / "search_results"
+            for q, _rows in grouped:
+                if args.backend == "device":
+                    hits = search_epoch(
+                        epoch, q, thresholds=thresholds,
+                        order_by=args.order, limit=max(1, len(epoch.paths)),
+                        offset=0,
+                    )
+                else:
+                    frag = translate_query(q, thresholds=thresholds)
+                    hits = search_files(
+                        conn, frag.where, frag.params,
+                        positive_tags=extract_positive_tag_terms(q),
+                        thresholds=normalize_thresholds(thresholds),
+                        order_by=args.order, limit=2**31 - 1, offset=0,
+                        hydrate=False,
+                    )
+                if args.copy_to:
+                    dest = Path(args.copy_to)
+                    if multi:
+                        dest = dest / sanitize_for_folder(q)
+                else:
+                    dest = make_export_dir(q, sr_root)
+                ok, ng = copy_results([h.path for h in hits], dest)
+                print(
+                    f"copied {ok} file(s), {ng} failed -> {dest}"
+                    + (f"  # query: {q}" if multi else ""),
+                    file=sys.stderr,
+                )
         for q, rows in grouped:
             if multi:
                 print(f"# query: {q}")
@@ -855,6 +895,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=200)
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--export", help="CSV file or directory")
+    p.add_argument("--copy", action="store_true",
+                   help="copy every hit into a timestamped folder under the "
+                        "data dir's cache/search_results (reference "
+                        "'Copy results…')")
+    p.add_argument("--copy-to", metavar="DIR",
+                   help="copy every hit into DIR (per-query subfolders when "
+                        "multiple queries are given)")
     p.add_argument("--show-tags", action="store_true")
     p.set_defaults(fn=cmd_search)
 

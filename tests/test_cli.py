@@ -70,6 +70,48 @@ def test_index_search_stats_complete(env, capsys):
     assert capsys.readouterr().out.startswith("1girl")
 
 
+def test_search_copy_results(env, capsys, tmp_path):
+    """'Copy results…' parity: the FULL hit set (not the displayed page) is
+    copied; --copy-to targets an explicit dir, --copy derives a timestamped
+    dir under the data dir's cache/search_results."""
+    base, root, paths = env
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+
+    dest = tmp_path / "hits"
+    # --limit 1 shows one row but the copy covers every hit (reference
+    # re-enumerates the query at copy time, ui/tags_db.py:73-76)
+    assert main([*base, "search", "1girl", "--backend", "device",
+                 "--limit", "1", "--copy-to", str(dest)]) == 0
+    capsys.readouterr()
+    copied = sorted(p.name for p in dest.iterdir())
+    assert copied == sorted(p.name for p in paths)
+
+    # same-name collisions suffix instead of overwriting
+    assert main([*base, "search", "1girl", "--backend", "sql",
+                 "--copy-to", str(dest)]) == 0
+    capsys.readouterr()
+    assert len(list(dest.iterdir())) == 2 * len(paths)
+
+    # multi-query --copy-to: per-query subfolders
+    multi = tmp_path / "multi"
+    assert main([*base, "search", "1girl", "1girl", "--backend", "device",
+                 "--copy-to", str(multi)]) == 0
+    capsys.readouterr()
+    assert sorted(p.name for p in multi.iterdir()) == ["1girl"]
+    assert len(list((multi / "1girl").iterdir())) == 2 * len(paths)
+
+    # --copy: timestamped folder under <data>/cache/search_results
+    assert main([*base, "search", "1girl", "--copy"]) == 0
+    capsys.readouterr()
+    from kobato_eyes_tpu.utils.paths import get_app_paths
+
+    sr_root = get_app_paths(base[3]).cache_dir / "search_results"
+    dirs = list(sr_root.iterdir())
+    assert len(dirs) == 1 and dirs[0].name.endswith("-1girl")
+    assert len(list(dirs[0].iterdir())) == len(paths)
+
+
 def test_thresholds_roundtrip(env, capsys):
     base, _, _ = env
     assert main([*base, "index"]) == 0
