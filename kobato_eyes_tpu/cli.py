@@ -562,10 +562,13 @@ def cmd_validate_checkpoint(args) -> int:
 
 
 def cmd_trash(args) -> int:
-    """List or restore trashed files — the reversal surface for
-    ``ket dup --trash-duplicates`` and ``POST /trash`` (the reference gets
-    this for free from the OS recycle bin via Send2Trash; an app-dir trash
-    keeps its own manifest)."""
+    """Trash by id (--put), list, or restore trashed files.
+
+    ``--put`` is the headless form of the app's delete-selected-results
+    (tags tab Delete key); listing/restoring is the reversal surface for
+    it, ``ket dup --trash-duplicates`` and ``POST /trash`` (the reference
+    gets reversal for free from the OS recycle bin via Send2Trash; an
+    app-dir trash keeps its own manifest)."""
     settings, db = _load_env(args)
     from kobato_eyes_tpu.db.connection import bootstrap
     from kobato_eyes_tpu.db.repository import mark_files_present
@@ -576,6 +579,40 @@ def cmd_trash(args) -> int:
     )
 
     trash_dir = get_app_paths(args.data_dir or settings.data_dir).root / "trash"
+    if args.put:
+        # Delete-selected-results, headless (the reference tags tab's Delete
+        # key: send2trash + mark_files_absent, ui/tags_workers.py:67-109).
+        # Same semantics as POST /trash: per-file isolation — one unmovable
+        # file must not abort the batch or leave earlier moves unrecorded.
+        from kobato_eyes_tpu.db.repository import get_file_by_id, mark_files_absent
+        from kobato_eyes_tpu.utils.fs import append_trash_record, trash_file
+
+        conn = bootstrap(db)
+        trashed: list[int] = []
+        failed: list[int] = []
+        try:
+            rows = {int(fid): get_file_by_id(conn, fid) for fid in args.put}
+            for fid, row in rows.items():
+                dest = None
+                if row is not None:
+                    try:
+                        dest = trash_file(row["path"], trash_dir=trash_dir)
+                    except (OSError, ValueError) as exc:
+                        print(f"trash failed for {row['path']}: {exc}", file=sys.stderr)
+                if dest is None:
+                    failed.append(fid)
+                else:
+                    append_trash_record(
+                        trash_dir, file_id=fid, original=row["path"], trashed=dest,
+                    )
+                    trashed.append(fid)
+            if trashed:
+                with conn:
+                    mark_files_absent(conn, trashed)
+        finally:
+            conn.close()
+        print(json.dumps({"trashed": trashed, "failed": failed}))
+        return 0 if not failed else 1
     records = load_trash_records(trash_dir)
     restore_ids = args.restore if args.restore is not None else []
     if args.restore is not None and not restore_ids and not args.restore_all:
@@ -995,7 +1032,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-backup", action="store_true")
     p.set_defaults(fn=cmd_reset)
 
-    p = sub.add_parser("trash", help="list/restore trashed files")
+    p = sub.add_parser("trash", help="trash/list/restore files")
+    p.add_argument("--put", type=int, nargs="+", metavar="FILE_ID",
+                   help="move these file ids to the trash and mark absent "
+                        "(the app's delete-selected-results; reversible)")
     p.add_argument("--restore", nargs="*", default=None, metavar="FILE_ID",
                    help="restore these file ids (move back + mark present)")
     p.add_argument("--restore-all", action="store_true")

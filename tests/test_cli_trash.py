@@ -47,3 +47,54 @@ def test_trash_duplicates(tmp_path, image_dir):
         assert absent == 1
     finally:
         conn.close()
+
+
+def test_trash_put_and_restore(tmp_path, image_dir, capsys):
+    """ket trash --put: the app's delete-selected-results, reversible."""
+    import json
+
+    reset_bootstrap_cache()
+    root, paths = image_dir
+    data_dir = tmp_path / "data"
+    cfg = tmp_path / "settings.yaml"
+    cfg.write_text(f"pipeline:\n  roots: [{root}]\ntagger:\n  name: dummy\n")
+    base = ["--config", str(cfg), "--data-dir", str(data_dir)]
+
+    assert main([*base, "index"]) == 0
+    capsys.readouterr()
+
+    db = get_app_paths(data_dir).db_path
+    conn = bootstrap(db)
+    try:
+        fid, fpath = conn.execute(
+            "SELECT id, path FROM files ORDER BY id LIMIT 1"
+        ).fetchone()
+    finally:
+        conn.close()
+
+    # one valid id + one unknown id: per-file isolation, rc=1 on failures
+    assert main([*base, "trash", "--put", str(fid), "999999"]) == 1
+    report = json.loads(capsys.readouterr().out)
+    assert report == {"trashed": [fid], "failed": [999999]}
+    assert not __import__("pathlib").Path(fpath).exists()
+
+    conn = bootstrap(db)
+    try:
+        present = conn.execute(
+            "SELECT is_present FROM files WHERE id=?", (fid,)
+        ).fetchone()[0]
+        assert present == 0
+    finally:
+        conn.close()
+
+    # reversible: restore puts the file back and re-marks present
+    assert main([*base, "trash", "--restore", str(fid)]) == 0
+    assert __import__("pathlib").Path(fpath).exists()
+    conn = bootstrap(db)
+    try:
+        present = conn.execute(
+            "SELECT is_present FROM files WHERE id=?", (fid,)
+        ).fetchone()[0]
+        assert present == 1
+    finally:
+        conn.close()
